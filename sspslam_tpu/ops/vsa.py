@@ -1,0 +1,302 @@
+"""Vector-symbolic-algebra primitives on TPU (pure jnp, jit-safe).
+
+Fractional-power SSP encoding, circular-convolution binding, unbinding,
+clean-up, and the fixed linear transforms used by the neural binding /
+path-integration networks.
+
+These are the TPU-native equivalents of the NumPy math in the reference
+implementation (``/root/reference/sspslam/sspspace.py:252-532`` and
+``/root/reference/sspslam/networks/binding.py:12-89``), re-derived from the
+underlying identities so everything is batched, statically shaped, and
+fusable by XLA.
+
+Conventions
+-----------
+* ``phase_matrix`` : (ssp_dim, domain_dim) real matrix ``A`` with
+  conjugate-symmetric rows (row 0 and, when even, row d/2 are zero;
+  row d-k = -row k), so that ``ifft(exp(i A x))`` is real.
+* All functions treat the LAST axis as the vector axis and broadcast over
+  leading batch axes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "encode",
+    "encode_fourier",
+    "encode_and_deriv",
+    "bind",
+    "unbind",
+    "invert",
+    "normalize",
+    "make_unitary",
+    "make_unitary_fourier",
+    "identity_vector",
+    "similarity",
+    "cleanup_from_set",
+    "conjsym",
+    "dft_half_matrices",
+    "binding_input_transforms",
+    "binding_output_transform",
+    "to_fourier_matrix",
+    "from_fourier_matrix",
+]
+
+
+# ---------------------------------------------------------------------------
+# Fractional-power encoding  phi(x) = IFFT(exp(i * A * (x / ell)))
+# ---------------------------------------------------------------------------
+
+def encode(phase_matrix: jax.Array, x: jax.Array, length_scale) -> jax.Array:
+    """SSP encoding of points ``x``.
+
+    Parameters
+    ----------
+    phase_matrix : (d, n) conjugate-symmetric phase matrix A.
+    x : (..., n) points in the domain.
+    length_scale : scalar or (n,) per-axis length scale.
+
+    Returns
+    -------
+    (..., d) real SSP vectors.
+
+    Matches the formula at reference sspspace.py:272 (``ifft(exp(i A x/l))``),
+    computed via rfft layout for efficiency: only the first d//2+1 phases are
+    materialised and ``irfft`` reconstructs the real vector.
+    """
+    d = phase_matrix.shape[0]
+    ls = jnp.broadcast_to(jnp.asarray(length_scale, dtype=x.dtype), x.shape[-1:])
+    xs = x / ls
+    # (..., d) phases
+    phases = jnp.einsum("dn,...n->...d", phase_matrix.astype(xs.dtype), xs)
+    half = phases[..., : d // 2 + 1]
+    fssp = jnp.exp(1j * half.astype(jnp.complex64))
+    return jnp.fft.irfft(fssp, n=d, axis=-1)
+
+
+def encode_fourier(phase_matrix: jax.Array, x: jax.Array, length_scale) -> jax.Array:
+    """Full complex Fourier coefficients exp(i A x / l); (..., d) complex."""
+    ls = jnp.broadcast_to(jnp.asarray(length_scale, dtype=x.dtype), x.shape[-1:])
+    phases = jnp.einsum("dn,...n->...d", phase_matrix.astype(x.dtype), x / ls)
+    return jnp.exp(1j * phases.astype(jnp.complex64))
+
+
+def encode_and_deriv(phase_matrix: jax.Array, x: jax.Array, length_scale):
+    """SSP encoding and its Jacobian d phi / d x.
+
+    Returns ``(phi, dphi)`` with shapes (..., d) and (..., d, n).
+    Mirrors reference sspspace.py:275-300.
+    """
+    d = phase_matrix.shape[0]
+    n = phase_matrix.shape[1]
+    ls = jnp.broadcast_to(jnp.asarray(length_scale, dtype=x.dtype), (n,))
+    A_ls = phase_matrix / ls[None, :]
+    phases = jnp.einsum("dn,...n->...d", A_ls.astype(x.dtype), x)
+    half_slice = slice(0, d // 2 + 1)
+    fssp = jnp.exp(1j * phases[..., half_slice].astype(jnp.complex64))
+    phi = jnp.fft.irfft(fssp, n=d, axis=-1)
+    # dphi/dx_j = irfft(i * A[:,j]/l_j * exp(i A x / l))
+    dfssp = 1j * A_ls[half_slice, :].astype(jnp.complex64) * fssp[..., None]
+    dphi = jnp.fft.irfft(dfssp, n=d, axis=-2)
+    return phi, dphi
+
+
+# ---------------------------------------------------------------------------
+# Binding algebra (circular convolution)
+# ---------------------------------------------------------------------------
+
+def bind(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Circular convolution a * b along the last axis (reference binding.py:12)."""
+    d = a.shape[-1]
+    fa = jnp.fft.rfft(a, axis=-1)
+    fb = jnp.fft.rfft(b, axis=-1)
+    return jnp.fft.irfft(fa * fb, n=d, axis=-1)
+
+
+def unbind(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Circular correlation: bind with the involution of ``a`` (conj in Fourier)."""
+    d = a.shape[-1]
+    fa = jnp.fft.rfft(a, axis=-1)
+    fb = jnp.fft.rfft(b, axis=-1)
+    return jnp.fft.irfft(jnp.conj(fa) * fb, n=d, axis=-1)
+
+
+def invert(a: jax.Array) -> jax.Array:
+    """Involution a[-i mod d]: the binding inverse for unitary vectors
+    (reference sspspace.py:530-532)."""
+    d = a.shape[-1]
+    idx = (-np.arange(d)) % d
+    return a[..., idx]
+
+
+def normalize(v: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Scale to unit L2 norm (safe at 0); reference sspspace.py:508."""
+    nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return v / jnp.maximum(nrm, eps)
+
+
+def make_unitary(v: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Project all Fourier coefficients onto the unit circle
+    (reference sspspace.py:511-514)."""
+    d = v.shape[-1]
+    fv = jnp.fft.fft(v, axis=-1)
+    fv = fv / jnp.maximum(jnp.abs(fv), eps)
+    return jnp.real(jnp.fft.ifft(fv, axis=-1))
+
+
+def make_unitary_fourier(fv: jax.Array, eps: float = 1e-8) -> jax.Array:
+    return fv / jnp.maximum(jnp.abs(fv), eps)
+
+
+def identity_vector(d: int, dtype=jnp.float32) -> jax.Array:
+    """Binding identity: delta at index 0."""
+    return jnp.zeros((d,), dtype).at[0].set(1.0)
+
+
+def similarity(vectors: jax.Array, v: jax.Array) -> jax.Array:
+    """Dot products of ``v`` (..., d) against a codebook (m, d) -> (..., m)."""
+    return jnp.einsum("md,...d->...m", vectors, v)
+
+
+def cleanup_from_set(sample_ssps: jax.Array, v: jax.Array) -> jax.Array:
+    """Replace ``v`` with the most similar vector from ``sample_ssps``.
+
+    The on-device equivalent of the clean-up node at reference
+    slam.py:212-215 — a single (m, d) @ (d,) matvec plus argmax, which is
+    cheap on the MXU/VPU instead of a host callback.
+    """
+    sims = jnp.einsum("md,...d->...m", sample_ssps, v)
+    best = jnp.argmax(sims, axis=-1)
+    return jnp.take(sample_ssps, best, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Phase-matrix construction helper
+# ---------------------------------------------------------------------------
+
+def conjsym(K: np.ndarray) -> np.ndarray:
+    """Expand (m, n) free phases into a (2m+1, n) conjugate-symmetric phase
+    matrix: row 0 zero, rows 1..m = K, rows m+1..2m = -flip(K)
+    (reference sspspace.py:860-868)."""
+    K = np.atleast_2d(np.asarray(K, dtype=np.float64))
+    m, n = K.shape
+    F = np.zeros((2 * m + 1, n))
+    F[1 : m + 1] = K
+    F[m + 1 :] = -np.flip(K, axis=0)
+    return F
+
+
+# ---------------------------------------------------------------------------
+# Fixed linear transforms for the *neural* binding network
+# ---------------------------------------------------------------------------
+# The neural CircularConvolution computes DFT(a)*DFT(b) with four real
+# product channels per retained frequency (Gosmann alignment; see reference
+# binding.py:164-186 for the derivation):
+#   channels per freq i: w=ReF*ReG, x=ImF*ImG, y=ReF*ImG, z=ImF*ReG
+#   Re H[i] = w - x ; Im H[i] = y + z
+# Input transform A rows per freq: [ReF, ImF, ReF, ImF]
+# Input transform B rows per freq: [ReG, ImG, ImG, ReG]
+# Output transform folds (w,x,y,z) -> real IDFT.
+
+def dft_half_matrices(d: int):
+    """Real/imag parts of the half-spectrum DFT matrix, shape (d//2+1, d)."""
+    x = np.arange(d)
+    w = np.arange(d // 2 + 1)
+    M = np.exp((-2.0j * np.pi / d) * np.outer(w, x))
+    return M.real, M.imag
+
+
+def binding_input_transforms(d: int, invert_a: bool = False, invert_b: bool = False):
+    """(tr_a, tr_b), each (4*(d//2+1), d): map inputs into aligned half-spectrum
+    product channels. ``invert_*`` conjugates that operand (circular correlation)."""
+    re, im = dft_half_matrices(d)
+    im_a = -im if invert_a else im
+    im_b = -im if invert_b else im
+    h = d // 2 + 1
+    tr_a = np.zeros((4 * h, d))
+    tr_b = np.zeros((4 * h, d))
+    tr_a[0::4] = re
+    tr_a[1::4] = im_a
+    tr_a[2::4] = re
+    tr_a[3::4] = im_a
+    tr_b[0::4] = re
+    tr_b[1::4] = im_b
+    tr_b[2::4] = im_b
+    tr_b[3::4] = re
+    return tr_a, tr_b
+
+
+def binding_output_transform(d: int) -> np.ndarray:
+    """(d, 4*(d//2+1)) matrix folding product channels through the inverse DFT.
+
+    For real output: out = (1/d) * sum_i c_i * (ReW_i*ReH_i - ImW_i*ImH_i)
+    where W is the half DFT, c_i = 1 for i==0 or (d even and i==d/2) else 2.
+    """
+    re, im = dft_half_matrices(d)
+    h = d // 2 + 1
+    coef = np.full(h, 2.0)
+    coef[0] = 1.0
+    if d % 2 == 0:
+        coef[-1] = 1.0
+    out = np.zeros((d, 4 * h))
+    # H = (w - x) + i(y + z); IDFT real part:
+    # out = (1/d) sum_i c_i [ re_i * (w_i - x_i) - im_i*(y_i + z_i) ]  with idft basis conj
+    out[:, 0::4] = (coef * re.T) / d          # w  (Re channel, +)
+    out[:, 1::4] = -(coef * re.T) / d         # x  (Re channel, -)
+    out[:, 2::4] = (coef * im.T) / d          # y  (Im channel): conj idft -> +im
+    out[:, 3::4] = (coef * im.T) / d          # z
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SSP <-> oscillator-bank Fourier layout
+# ---------------------------------------------------------------------------
+# The path integrator represents the SSP in the Fourier domain as
+# k = (d+1)//2 triples [Re F_j, Im F_j, omega_j] (one per VCO).
+# ``to_fourier_matrix`` maps an SSP into the stacked (3k,) layout (omega rows
+# zero); ``from_fourier_matrix`` reconstructs the SSP from the stacked layout.
+# Equivalent in function to reference pathintegration.py:816-844, derived
+# directly from the DFT conjugate-symmetry relations.
+
+def to_fourier_matrix(d: int) -> np.ndarray:
+    """(3k, d) matrix: SSP -> [Re F_1..k-1, Im F_1..k-1] in VCO triple layout.
+
+    VCO j (j>=1) rows 3j, 3j+1 get Re/Im of DFT row j; VCO 0 (the DC term)
+    rows are zero — it is pinned to [1, 0, 0] by a constant input instead.
+    Frequency rows (3j+2) are zero: omega comes from the velocity input.
+    """
+    k = (d + 1) // 2
+    W = np.fft.fft(np.eye(d))
+    M = np.zeros((3 * k, d))
+    M[3::3] = W[1:k].real
+    M[4::3] = W[1:k].imag
+    return M
+
+
+def from_fourier_matrix(d: int) -> np.ndarray:
+    """(d, 3k) matrix: stacked VCO triples -> SSP.
+
+    Reconstructs x = Re(IFFT(F)) with F_0 taken from VCO 0's Re component,
+    F_j from VCO j, and the upper half of the spectrum by conjugate symmetry.
+    For even d the Nyquist row F_{d/2} is not represented by any VCO and is
+    dropped (matches the reference layout, pathintegration.py:824-844).
+    """
+    k = (d + 1) // 2
+    invW = np.fft.ifft(np.eye(d))  # (d, d) complex, x = invW @ F
+    C = np.zeros((d, d), dtype=complex)  # F = C @ stacked(Re, Im) mapping built below
+    M = np.zeros((d, 3 * k))
+    # columns 3j -> Re F_j contribution, 3j+1 -> Im F_j contribution
+    for j in range(k):
+        # F_j = Re + i Im ; F_{d-j} = Re - i Im (conjugate symmetry), j>0
+        col_re = invW[:, j].copy()
+        col_im = 1j * invW[:, j]
+        if j > 0 and (d - j) != j:
+            col_re = col_re + invW[:, d - j]
+            col_im = col_im - 1j * invW[:, d - j]
+        M[:, 3 * j] = col_re.real
+        M[:, 3 * j + 1] = col_im.real
+    return M
