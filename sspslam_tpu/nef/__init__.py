@@ -1,0 +1,22 @@
+"""NEF-on-JAX engine: declarative graph -> jitted lax.scan simulation."""
+
+from ..ops.neurons import LIF, LIFRate, RectifiedLinear, SpikingRectifiedLinear
+from ..ops.synapses import Alpha, Lowpass
+from .distributions import (Choice, CosineSimilarity, Distribution,
+                            Exponential, ScatteredHypersphere, Uniform,
+                            UniformHypersphere)
+from .graph import (BatchedConnection, Connection, Default, Ensemble,
+                    EnsembleArray, LearningRule, Network, Neurons, Node,
+                    ObjView, PES, Probe, Voja)
+from .processes import WhiteSignal, white_signal
+from .simulator import Simulator
+
+__all__ = [
+    "LIF", "LIFRate", "RectifiedLinear", "SpikingRectifiedLinear",
+    "Alpha", "Lowpass",
+    "Choice", "CosineSimilarity", "Distribution", "Exponential",
+    "ScatteredHypersphere", "Uniform", "UniformHypersphere",
+    "BatchedConnection", "Connection", "Default", "Ensemble", "EnsembleArray",
+    "LearningRule", "Network", "Neurons", "Node", "ObjView", "PES", "Probe",
+    "Voja", "WhiteSignal", "white_signal", "Simulator",
+]

@@ -1,0 +1,625 @@
+"""Compile a declarative Network into a jit-compilable step plan.
+
+This is the TPU-native replacement for nengo's build+simulate machinery (the
+external L3 runtime the reference depends on — SURVEY.md §2.6): decoder
+solving, gain/bias computation, and the per-timestep op schedule all happen
+here, producing a pure function
+
+    step(state, step_inputs) -> (state, probe_values)
+
+with every signal on device.  Node callables of ``t`` alone are tabulated to
+device arrays; gates and clean-ups are jnp functions fused into the step —
+there are no host callbacks in the hot loop (this is where the >=100x over
+the reference's nengo/OpenCL loop comes from; see BASELINE.md).
+
+State (neuron voltages, synapse filters, learned PES decoders and Voja
+encoders) is a pytree carry, so ``lax.scan`` drives the simulation and
+checkpoint/resume is carry serialisation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import learning as learning_ops
+from ..ops import synapses as synapse_ops
+from ..ops.neurons import LIF, NeuronType
+from .distributions import sample_dist, UniformHypersphere
+from .graph import (BatchedConnection, Connection, EAElement, Ensemble,
+                    EnsembleArray, LearningRule, Network, Neurons, Node,
+                    ObjView, PES, Probe, Voja)
+from .solvers import lstsq_l2, lstsq_l2_batched
+
+__all__ = ["Model", "build"]
+
+
+def default_n_eval_points(n_neurons: int, dimensions: int) -> int:
+    return max(int(np.clip(500 * dimensions, 750, 2500)), 2 * n_neurons)
+
+
+# ---------------------------------------------------------------------------
+# Built structures
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BuiltEnsemble:
+    obj: Any                      # Ensemble or EnsembleArray
+    index: int
+    batched: bool
+    k: int
+    n: int
+    dim: int
+    radius: float
+    neuron_type: NeuronType
+    gain: np.ndarray              # (n,) or (k, n)
+    bias: np.ndarray
+    encoders: np.ndarray          # (n, dim) or (k, n, dim) unit rows
+    scaled_encoders: np.ndarray   # encoders * gain / radius
+    eval_points: np.ndarray       # (P, dim) in represented space
+    voja_conn_index: Optional[int] = None  # encoders live in carry if set
+    _acts_cache: Optional[np.ndarray] = None
+
+    def activities_at_eval(self) -> np.ndarray:
+        """Static rates at eval points: (P, n) or (k, P, n)."""
+        if self._acts_cache is None:
+            E = self.scaled_encoders
+            if self.batched:
+                J = np.einsum("knd,pd->kpn", E, self.eval_points) + self.bias[:, None, :]
+            else:
+                J = self.eval_points @ E.T + self.bias[None, :]
+            self._acts_cache = np.asarray(self.neuron_type.rates(jnp.asarray(J)))
+        return self._acts_cache
+
+
+@dataclasses.dataclass
+class BuiltConnection:
+    obj: Any
+    index: int
+    pre_kind: str       # node | ens | ea | ea_elem | neurons | ens_view | ea_out
+    post_kind: str      # ens | ea | ea_elem | node | neurons | pes | voja
+    pre: Any = None     # resolved pre object (Node / BuiltEnsemble / ...)
+    post: Any = None
+    pre_indices: Optional[np.ndarray] = None
+    post_indices: Optional[np.ndarray] = None
+    ea_elem_index: Optional[int] = None       # pre element index
+    post_elem_index: Optional[int] = None
+    weights: Optional[np.ndarray] = None      # (post_size, pre_size) or None
+    scalar_weight: float = 1.0
+    decoders: Optional[np.ndarray] = None     # (n, d) or (k, n, d)
+    jnp_function: Optional[Callable] = None   # for node pre
+    synapse: Any = None
+    filt_index: Optional[int] = None          # filter state slot
+    filt_shape: Optional[Tuple[int, ...]] = None
+    learned_slot: Optional[str] = None        # key into carry['learned']
+    pes_rule: Optional[PES] = None
+    voja_rule: Optional[Voja] = None
+    pes_act_filt_index: Optional[int] = None
+    rule_target_conns: List[int] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class BuiltProbe:
+    obj: Probe
+    index: int
+    kind: str            # node | ens_decoded | activities | weights | scaled_encoders | voltage
+    target: Any = None
+    decoders: Optional[np.ndarray] = None
+    synapse: Any = None
+    filt_index: Optional[int] = None
+    shape: Tuple[int, ...] = ()
+    period_steps: int = 1
+    sparse: bool = False
+
+
+class Model:
+    """The compiled plan plus parameter arrays; owns ``make_step``."""
+
+    def __init__(self, network: Network, dt: float, seed: Optional[int]):
+        self.network = network
+        self.dt = float(dt)
+        self.seed = seed
+        self.ensembles: List[BuiltEnsemble] = []
+        self.connections: List[BuiltConnection] = []
+        self.probes: List[BuiltProbe] = []
+        self.node_info: Dict[int, dict] = {}   # id(node) -> info
+        self.filter_specs: List[Tuple[Tuple[int, ...], float, float]] = []
+        self.topo_units: List[Tuple[str, Any]] = []
+        self.learned_init: Dict[str, np.ndarray] = {}
+        self.input_nodes: List[Node] = []      # tabulated nodes, in order
+        self.dtype = jnp.float32
+
+    # -- carry construction -------------------------------------------------
+    def initial_state(self):
+        neurons = []
+        for be in self.ensembles:
+            shape = (be.k, be.n) if be.batched else (be.n,)
+            neurons.append(be.neuron_type.init_state(shape, self.dtype))
+        filters = [jnp.zeros(shape, self.dtype) for shape, _, _ in self.filter_specs]
+        learned = {k: jnp.asarray(v, self.dtype) for k, v in self.learned_init.items()}
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "neurons": neurons,
+            "filters": filters,
+            "learned": learned,
+        }
+
+
+# ---------------------------------------------------------------------------
+# build()
+# ---------------------------------------------------------------------------
+
+def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
+          default_neuron_type: Optional[NeuronType] = None) -> Model:
+    model = Model(network, dt, seed)
+    master = np.random.default_rng(seed if seed is not None else network.seed)
+    default_nt = default_neuron_type or LIF()
+
+    ens_list, node_list, conn_list, probe_list, ea_list = network.all_objects()
+
+    # EA prototype ensembles and EA i/o nodes are built specially
+    ea_protos = {id(ea._proto) for ea in ea_list}
+    ea_io_nodes = {}
+    for ea in ea_list:
+        ea_io_nodes[id(ea.input)] = ("ea_input", ea)
+        ea_io_nodes[id(ea.output)] = ("ea_output", ea)
+        for name, (fn, od, node, reg) in ea._outputs.items():
+            ea_io_nodes[id(node)] = ("ea_func_output", ea)
+
+    # ---- build ensembles --------------------------------------------------
+    built_by_obj: Dict[int, BuiltEnsemble] = {}
+
+    def obj_rng(obj):
+        if getattr(obj, "seed", None) is not None:
+            return np.random.default_rng(obj.seed)
+        return np.random.default_rng(master.integers(2**31))
+
+    def build_single(ens: Ensemble, idx: int) -> BuiltEnsemble:
+        rng = obj_rng(ens)
+        nt = ens.neuron_type or default_nt
+        n, d = ens.n_neurons, ens.dimensions
+        max_rates = sample_dist(ens.max_rates, n, rng=rng)
+        intercepts = sample_dist(ens.intercepts, n, rng=rng)
+        gain, bias = nt.gain_bias(max_rates, intercepts)
+        enc_spec = ens.encoders
+        from .graph import Default as _D
+        if enc_spec is _D or enc_spec is None:
+            enc = UniformHypersphere(surface=True).sample(n, d, rng=rng)
+        else:
+            enc = np.array(sample_dist(enc_spec, n, d, rng=rng), dtype=np.float64)
+            if ens.normalize_encoders:
+                enc = enc / np.maximum(
+                    np.linalg.norm(enc, axis=1, keepdims=True), 1e-12)
+        n_ep = ens.n_eval_points or default_n_eval_points(n, d)
+        ep = sample_dist(ens.eval_points, n_ep, d, rng=rng) * ens.radius
+        scaled = enc * (gain / ens.radius)[:, None]
+        return BuiltEnsemble(ens, idx, False, 1, n, d, ens.radius, nt,
+                             gain, bias, enc, scaled, ep)
+
+    def build_array(ea: EnsembleArray, idx: int) -> BuiltEnsemble:
+        proto = ea._proto
+        rng = obj_rng(ea)
+        nt = proto.neuron_type or default_nt
+        k, n, d = ea.n_ensembles, ea.n_neurons_per, ea.ens_dimensions
+        from .graph import Default as _D
+        gains, biases, encs = [], [], []
+        for j in range(k):
+            max_rates = sample_dist(proto.max_rates, n, rng=rng)
+            intercepts = sample_dist(proto.intercepts, n, rng=rng)
+            g, b = nt.gain_bias(max_rates, intercepts)
+            if proto.encoders is _D or proto.encoders is None:
+                e = UniformHypersphere(surface=True).sample(n, d, rng=rng)
+            else:
+                e = np.array(sample_dist(proto.encoders, n, d, rng=rng))
+                e = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+            gains.append(g); biases.append(b); encs.append(e)
+        gain = np.stack(gains); bias = np.stack(biases); enc = np.stack(encs)
+        n_ep = proto.n_eval_points or default_n_eval_points(n, d)
+        ep = sample_dist(proto.eval_points, n_ep, d, rng=rng) * ea.radius
+        scaled = enc * (gain / ea.radius)[..., None]
+        return BuiltEnsemble(ea, idx, True, k, n, d, ea.radius, nt,
+                             gain, bias, enc, scaled, ep)
+
+    for ens in ens_list:
+        if id(ens) in ea_protos:
+            continue
+        be = build_single(ens, len(model.ensembles))
+        built_by_obj[id(ens)] = be
+        model.ensembles.append(be)
+    for ea in ea_list:
+        be = build_array(ea, len(model.ensembles))
+        built_by_obj[id(ea)] = be
+        model.ensembles.append(be)
+
+    # ---- node info --------------------------------------------------------
+    for node in node_list:
+        info = {"node": node, "kind": None, "const": None}
+        if id(node) in ea_io_nodes:
+            role, ea = ea_io_nodes[id(node)]
+            info["kind"] = "passthrough"  # wired via implicit connections below
+        elif node.output is None:
+            info["kind"] = "passthrough"
+        elif callable(node.output):
+            import inspect
+            try:
+                nparams = len(inspect.signature(node.output).parameters)
+            except (TypeError, ValueError):
+                nparams = 1
+            if node.size_in > 0 or nparams >= 2:
+                info["kind"] = "jnp_func"
+            else:
+                info["kind"] = "tabulated"
+            if node.size_out is None:
+                if info["kind"] == "tabulated":
+                    out = np.asarray(node.output(dt))
+                else:
+                    out = np.asarray(node.output(dt, np.zeros(node.size_in)))
+                node.size_out = int(out.size)
+        else:
+            info["kind"] = "const"
+            info["const"] = np.asarray(node.output, dtype=np.float64).reshape(-1)
+            node.size_out = info["const"].size
+        model.node_info[id(node)] = info
+        if info["kind"] == "tabulated":
+            model.input_nodes.append(node)
+
+    # ---- implicit EA connections -----------------------------------------
+    implicit_conns: List[Any] = []
+    for ea in ea_list:
+        be = built_by_obj[id(ea)]
+        implicit_conns.append(("ea_input_route", ea.input, be))
+        implicit_conns.append(("ea_output_route", be, ea.output, None, 0.1))
+        for name, (fn, od, node, reg) in ea._outputs.items():
+            implicit_conns.append(("ea_output_route", be, node, fn, reg))
+
+    # ---- helpers for connection building ---------------------------------
+    filter_specs = model.filter_specs
+
+    def add_filter(shape, synapse) -> int:
+        a, b, stages = synapse_ops.coefficients(synapse, dt)
+        if stages != 1:
+            raise NotImplementedError("Alpha synapse not yet supported in builder")
+        filter_specs.append((tuple(shape), a, b))
+        return len(filter_specs) - 1
+
+    def resolve_pre(pre):
+        """-> (kind, resolved, indices, elem_index)"""
+        if isinstance(pre, ObjView):
+            base = pre.obj
+            if isinstance(base, Node):
+                return "node", base, pre.indices, None
+            if isinstance(base, Ensemble):
+                return "ens_view", built_by_obj[id(base)], pre.indices, None
+            if isinstance(base, EAElement):
+                return "ea_elem", built_by_obj[id(base.ea)], pre.indices, base.index
+            raise TypeError(f"bad pre view base {base!r}")
+        if isinstance(pre, Node):
+            return "node", pre, None, None
+        if isinstance(pre, Ensemble):
+            return "ens", built_by_obj[id(pre)], None, None
+        if isinstance(pre, EnsembleArray):
+            return "node", pre.output, None, None
+        if isinstance(pre, EAElement):
+            return "ea_elem", built_by_obj[id(pre.ea)], None, pre.index
+        if isinstance(pre, Neurons):
+            return "neurons", built_by_obj[id(pre.ensemble)], None, None
+        raise TypeError(f"bad pre {pre!r}")
+
+    def resolve_post(post):
+        if isinstance(post, ObjView):
+            base = post.obj
+            if isinstance(base, Node):
+                return "node", base, post.indices, None
+            if isinstance(base, Ensemble):
+                return "ens", built_by_obj[id(base)], post.indices, None
+            if isinstance(base, EAElement):
+                return "ea_elem", built_by_obj[id(base.ea)], post.indices, base.index
+            raise TypeError(f"bad post view base {base!r}")
+        if isinstance(post, Node):
+            return "node", post, None, None
+        if isinstance(post, Ensemble):
+            return "ens", built_by_obj[id(post)], None, None
+        if isinstance(post, EnsembleArray):
+            return "node", post.input, None, None
+        if isinstance(post, EAElement):
+            return "ea_elem", built_by_obj[id(post.ea)], None, post.index
+        if isinstance(post, Neurons):
+            return "neurons", built_by_obj[id(post.ensemble)], None, None
+        if isinstance(post, LearningRule):
+            kind = "pes" if isinstance(post.rule, PES) else "voja"
+            return kind, post, None, None
+        raise TypeError(f"bad post {post!r}")
+
+    def pre_size(kind, pre, indices, elem_index):
+        if kind == "node":
+            s = pre.size_out
+        elif kind in ("ens", "ens_view"):
+            s = pre.dim
+        elif kind == "ea_elem":
+            s = pre.dim
+        elif kind == "neurons":
+            return pre.k * pre.n if pre.batched else pre.n
+        else:
+            raise TypeError(kind)
+        return len(indices) if indices is not None else s
+
+    def post_size(kind, post, indices, elem_index):
+        if indices is not None:
+            return len(indices)
+        if kind == "node":
+            return post.size_in
+        if kind == "ens":
+            return post.dim
+        if kind == "ea_elem":
+            return post.dim
+        if kind == "neurons":
+            return post.k * post.n if post.batched else post.n
+        if kind == "pes":
+            return post.size_in
+        if kind == "voja":
+            return 1
+        raise TypeError(kind)
+
+    def normalize_transform(transform, psize, prsize):
+        if np.isscalar(transform):
+            return None, float(transform)
+        W = np.asarray(transform, dtype=np.float64)
+        if W.ndim == 0:
+            return None, float(W)
+        if W.ndim == 1:
+            W = np.diag(W) if W.size == psize == prsize else W.reshape(psize, prsize)
+        assert W.shape == (psize, prsize), (
+            f"transform shape {W.shape} != ({psize}, {prsize})")
+        return W, 1.0
+
+    def solve_decoders(be: BuiltEnsemble, function, reg, pre_indices=None,
+                       targets_out_dim=None):
+        """Solve decoders for a (possibly batched) built ensemble."""
+        ep = be.eval_points  # (P, dim), represented space
+        if function is None:
+            targets = ep.copy()
+        else:
+            targets = np.asarray([np.atleast_1d(np.asarray(function(x), dtype=np.float64))
+                                  for x in ep])
+        if pre_indices is not None:
+            targets = targets[:, pre_indices]
+        acts = be.activities_at_eval()
+        if be.batched:
+            return lstsq_l2_batched(acts, targets, reg=reg)  # (k, n, d)
+        return lstsq_l2(acts, targets, reg=reg)              # (n, d)
+
+    # ---- build explicit connections --------------------------------------
+    rule_map: Dict[int, BuiltConnection] = {}  # id(LearningRule) -> bc
+
+    def make_builtconn(conn) -> BuiltConnection:
+        bc = BuiltConnection(conn, len(model.connections), "", "")
+        pk, pre, pidx, pelem = resolve_pre(conn.pre)
+        sk, post, sidx, selem = resolve_post(conn.post)
+        bc.pre_kind, bc.pre, bc.pre_indices, bc.ea_elem_index = pk, pre, pidx, pelem
+        bc.post_kind, bc.post, bc.post_indices, bc.post_elem_index = sk, post, sidx, selem
+        prsize = pre_size(pk, pre, pidx, pelem)
+        psize = post_size(sk, post, sidx, selem)
+        bc.weights, bc.scalar_weight = normalize_transform(conn.transform, psize, prsize)
+        bc.synapse = conn.synapse
+
+        if pk in ("ens", "ens_view", "ea_elem"):
+            # decoded connection: solve
+            if pk == "ea_elem":
+                dec_all = solve_decoders(bc.pre, conn.function, conn.solver_reg,
+                                         pre_indices=pidx)
+                bc.decoders = dec_all[pelem]  # (n, d)
+            else:
+                bc.decoders = solve_decoders(bc.pre, conn.function, conn.solver_reg,
+                                             pre_indices=pidx)
+            if conn.learning_rule_type is not None and isinstance(
+                    conn.learning_rule_type, PES):
+                bc.pes_rule = conn.learning_rule_type
+                slot = f"pes_{bc.index}"
+                bc.learned_slot = slot
+                model.learned_init[slot] = bc.decoders
+                if bc.pes_rule.pre_synapse is not None:
+                    nshape = (bc.pre.n,) if not bc.pre.batched else (bc.pre.k, bc.pre.n)
+                    bc.pes_act_filt_index = add_filter(nshape, bc.pes_rule.pre_synapse)
+                rule_map[id(conn.learning_rule)] = bc
+        elif pk == "node":
+            if conn.function is not None:
+                bc.jnp_function = conn.function
+            if conn.learning_rule_type is not None and isinstance(
+                    conn.learning_rule_type, Voja):
+                bc.voja_rule = conn.learning_rule_type
+                assert sk == "ens" and not post.batched, \
+                    "Voja supported on node->Ensemble connections"
+                slot = f"voja_{bc.index}"
+                bc.learned_slot = slot
+                model.learned_init[slot] = post.scaled_encoders
+                post.voja_conn_index = bc.index
+                rule_map[id(conn.learning_rule)] = bc
+
+        if bc.synapse is not None:
+            bc.filt_shape = (psize,)
+            bc.filt_index = add_filter(bc.filt_shape, bc.synapse)
+        return bc
+
+    batched_conns: List[BuiltConnection] = []
+
+    def make_batched(conn: BatchedConnection) -> BuiltConnection:
+        bc = BuiltConnection(conn, len(model.connections), "", "")
+        # post must be an EnsembleArray
+        assert isinstance(conn.post, EnsembleArray)
+        bpost = built_by_obj[id(conn.post)]
+        bc.post, bc.post_kind = bpost, "ea_batch"
+        if isinstance(conn.pre, EnsembleArray):
+            bpre = built_by_obj[id(conn.pre)]
+            assert bpre is bpost, "batched recurrent must be self-connection"
+            bc.pre, bc.pre_kind = bpre, "ea_batch"
+            dec = solve_decoders(bpre, conn.function, conn.solver_reg)  # (k,n,d)
+            if conn.element_mask is not None:
+                dec = dec * np.asarray(conn.element_mask)[:, None, None]
+            bc.decoders = dec
+        else:
+            pk, pre, pidx, pelem = resolve_pre(conn.pre)
+            assert pk == "node", "batched input connections take a node pre"
+            bc.pre, bc.pre_kind, bc.pre_indices = pre, "node", pidx
+            W = np.asarray(conn.transforms, dtype=np.float64)  # (k, dim, pre)
+            assert W.ndim == 3 and W.shape[0] == bpost.k and W.shape[1] == bpost.dim
+            if conn.element_mask is not None:
+                W = W * np.asarray(conn.element_mask)[:, None, None]
+            bc.weights = W
+        bc.synapse = conn.synapse
+        if bc.synapse is not None:
+            bc.filt_shape = (bpost.k, bpost.dim)
+            bc.filt_index = add_filter(bc.filt_shape, bc.synapse)
+        return bc
+
+    # EA implicit routes become BuiltConnections too
+    for item in implicit_conns:
+        if item[0] == "ea_input_route":
+            _, in_node, be = item
+            bc = BuiltConnection(None, len(model.connections), "node", "ea_batch",
+                                 pre=in_node, post=be)
+            bc.synapse = None
+            model.connections.append(bc)
+        else:
+            _, be, out_node, fn, reg = item
+            bc = BuiltConnection(None, len(model.connections), "ea_batch", "node",
+                                 pre=be, post=out_node)
+            bc.decoders = solve_decoders(be, fn, reg)  # (k, n, od)
+            bc.synapse = None
+            model.connections.append(bc)
+
+    for conn in conn_list:
+        if isinstance(conn, BatchedConnection):
+            bc = make_batched(conn)
+        else:
+            bc = make_builtconn(conn)
+        model.connections.append(bc)
+
+    # attach rule-input connections (error signals / voja gates)
+    for bc in model.connections:
+        if bc.post_kind in ("pes", "voja"):
+            target_bc = rule_map.get(id(bc.post))
+            if target_bc is None:
+                raise ValueError(f"connection {bc.obj} targets an unbuilt learning rule")
+            target_bc.rule_target_conns.append(bc.index)
+
+    # ---- probes -----------------------------------------------------------
+    for p in probe_list:
+        bp = BuiltProbe(p, len(model.probes), "")
+        tgt = p.target
+        if isinstance(tgt, (Connection,)) or (p.attr == "weights"):
+            # find built conn
+            bc = next(c for c in model.connections if c.obj is tgt)
+            assert bc.learned_slot, "weights probe requires a learned connection"
+            bp.kind, bp.target = "weights", bc
+        elif isinstance(tgt, LearningRule):
+            bc = rule_map[id(tgt)]
+            if isinstance(tgt.rule, Voja):
+                bp.kind, bp.target = "scaled_encoders", bc
+            else:
+                bp.kind, bp.target = "weights", bc
+        elif isinstance(tgt, Neurons):
+            bp.kind, bp.target = "activities", built_by_obj[id(tgt.ensemble)]
+        elif isinstance(tgt, Ensemble):
+            be = built_by_obj[id(tgt)]
+            bp.kind, bp.target = "ens_decoded", be
+            bp.decoders = solve_decoders(be, None, 0.1)
+        elif isinstance(tgt, Node):
+            bp.kind, bp.target = "node", tgt
+        elif isinstance(tgt, EnsembleArray):
+            bp.kind, bp.target = "node", tgt.output
+        else:
+            raise TypeError(f"cannot probe {tgt!r}")
+        bp.synapse = p.synapse
+        if p.synapse is not None:
+            shape = _probe_shape(bp)
+            bp.filt_index = add_filter(shape, p.synapse)
+        bp.period_steps = (1 if p.sample_every is None
+                           else max(1, int(round(p.sample_every / dt))))
+        bp.shape = _probe_shape(bp)
+        bp.sparse = bp.kind in ("weights", "scaled_encoders") and bp.period_steps > 1
+        model.probes.append(bp)
+
+    # ---- topological order of same-step units -----------------------------
+    model.topo_units = _topo_sort(model)
+    return model
+
+
+def _probe_shape(bp: BuiltProbe) -> Tuple[int, ...]:
+    if bp.kind == "node":
+        return (bp.target.size_out,)
+    if bp.kind == "ens_decoded":
+        return (bp.target.dim,)
+    if bp.kind == "activities":
+        be = bp.target
+        return (be.k, be.n) if be.batched else (be.n,)
+    if bp.kind == "weights":
+        d = bp.target.decoders.shape[-1]
+        n = bp.target.pre.n if bp.target.pre_kind.startswith("e") else None
+        dec = bp.target.decoders
+        return tuple(dec.shape[::-1]) if dec.ndim == 2 else tuple(dec.shape)
+    if bp.kind == "scaled_encoders":
+        return tuple(bp.target.post.scaled_encoders.shape)
+    raise TypeError(bp.kind)
+
+
+def _topo_sort(model: Model):
+    """Order computable units (nodes + ensembles) respecting same-step
+    (synapse=None) dependencies.  Filtered connections read carry state, so
+    they impose no ordering."""
+    units: List[Tuple[str, Any]] = []
+    unit_ids = {}
+    for info in model.node_info.values():
+        u = ("node", info["node"])
+        unit_ids[id(info["node"])] = len(units)
+        units.append(u)
+    for be in model.ensembles:
+        u = ("ens", be)
+        unit_ids[id(be)] = len(units)
+        units.append(u)
+
+    n_units = len(units)
+    edges = [[] for _ in range(n_units)]
+    indeg = [0] * n_units
+
+    def unit_of(kind, obj):
+        return unit_ids[id(obj)]
+
+    for bc in model.connections:
+        if bc.synapse is not None:
+            continue
+        # pre unit
+        if bc.pre_kind == "node":
+            src = unit_of("node", bc.pre)
+        else:
+            src = unit_of("ens", bc.pre)
+        # post unit
+        if bc.post_kind in ("node",):
+            dst = unit_of("node", bc.post)
+        elif bc.post_kind in ("ens", "ea_elem", "neurons", "ea_batch"):
+            dst = unit_of("ens", bc.post)
+        elif bc.post_kind in ("pes", "voja"):
+            continue  # rule inputs are consumed in the update phase
+        else:
+            raise TypeError(bc.post_kind)
+        edges[src].append(dst)
+        indeg[dst] += 1
+
+    from collections import deque
+    q = deque(i for i in range(n_units) if indeg[i] == 0)
+    order = []
+    while q:
+        i = q.popleft()
+        order.append(units[i])
+        for j in edges[i]:
+            indeg[j] -= 1
+            if indeg[j] == 0:
+                q.append(j)
+    if len(order) != n_units:
+        raise RuntimeError(
+            "instantaneous (synapse=None) cycle detected in the network graph; "
+            "add a synapse somewhere on the loop")
+    return order

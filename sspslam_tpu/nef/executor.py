@@ -1,0 +1,270 @@
+"""Emit the jitted per-timestep function from a built Model.
+
+``make_step_fn(model)`` returns ``step(state, xs) -> (state, emits)`` — a
+pure jnp function executing the whole network update on device: ensemble
+currents (batched einsums on the MXU), neuron dynamics, synapse filters
+(one fused multiply-add each), PES/Voja outer-product learning, gates and
+clean-ups, and probe collection.  ``lax.scan`` over it is the simulation
+loop; XLA fuses the elementwise chains between the matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import learning as learning_ops
+from .builder import BuiltConnection, BuiltProbe, Model
+
+__all__ = ["make_step_fn"]
+
+
+def make_step_fn(model: Model, dtype=jnp.float32):
+    dt = model.dt
+
+    # device-resident constant parameters
+    enc_params = []
+    for be in model.ensembles:
+        enc_params.append({
+            "scaled_encoders": jnp.asarray(be.scaled_encoders, dtype),
+            "bias": jnp.asarray(be.bias, dtype),
+            "gain": jnp.asarray(be.gain, dtype),
+        })
+    conn_const: Dict[int, dict] = {}
+    for bc in model.connections:
+        d = {}
+        if bc.weights is not None:
+            d["W"] = jnp.asarray(bc.weights, dtype)
+        if bc.decoders is not None and bc.learned_slot is None:
+            d["D"] = jnp.asarray(bc.decoders, dtype)
+        conn_const[bc.index] = d
+    probe_const: Dict[int, dict] = {}
+    for bp in model.probes:
+        d = {}
+        if bp.decoders is not None:
+            d["D"] = jnp.asarray(bp.decoders, dtype)
+        probe_const[bp.index] = d
+
+    filt_coeffs = [(a, b) for (_shape, a, b) in model.filter_specs]
+
+    # incoming connections per unit
+    node_in: Dict[int, list] = {}
+    ens_in: Dict[int, list] = {}
+    ens_cur: Dict[int, list] = {}   # direct neuron-current connections
+    for bc in model.connections:
+        if bc.post_kind == "node":
+            node_in.setdefault(id(bc.post), []).append(bc)
+        elif bc.post_kind in ("ens", "ea_elem", "ea_batch"):
+            ens_in.setdefault(bc.post.index, []).append(bc)
+        elif bc.post_kind == "neurons":
+            ens_cur.setdefault(bc.post.index, []).append(bc)
+        # pes/voja handled in the learning phase
+
+    input_index = {id(n): i for i, n in enumerate(model.input_nodes)}
+
+    def step(state, xs):
+        step_no = state["step"]
+        t = (step_no.astype(dtype) + 1.0) * dt
+        filters = state["filters"]
+        learned = state["learned"]
+        sig_node: Dict[int, jax.Array] = {}
+        sig_act: Dict[int, jax.Array] = {}
+        new_neurons = list(state["neurons"])
+
+        def decoders_of(bc):
+            if bc.learned_slot is not None:
+                return learned[bc.learned_slot]
+            return conn_const[bc.index]["D"]
+
+        def pre_value(bc: BuiltConnection):
+            if bc.pre_kind == "node":
+                v = sig_node[id(bc.pre)]
+                if bc.pre_indices is not None:
+                    v = v[jnp.asarray(bc.pre_indices)]
+                return v
+            act = sig_act[bc.pre.index]
+            if bc.pre_kind in ("ens", "ens_view"):
+                return act @ decoders_of(bc)
+            if bc.pre_kind == "ea_elem":
+                return act[bc.ea_elem_index] @ decoders_of(bc)
+            if bc.pre_kind == "ea_batch":
+                return jnp.einsum("kn,knd->kd", act, decoders_of(bc))
+            if bc.pre_kind == "neurons":
+                return act.reshape(-1)
+            raise TypeError(bc.pre_kind)
+
+        def current_value(bc: BuiltConnection):
+            v = pre_value(bc)
+            if bc.jnp_function is not None:
+                v = jnp.asarray(bc.jnp_function(v)).reshape(-1)
+            if bc.pre_kind == "ea_batch" and bc.post_kind == "node":
+                v = v.reshape(-1)
+            if bc.weights is not None:
+                W = conn_const[bc.index]["W"]
+                if W.ndim == 3:  # batched input transforms (k, dim, s)
+                    v = jnp.einsum("kds,s->kd", W, v)
+                else:
+                    v = W @ v
+            elif bc.scalar_weight != 1.0:
+                v = bc.scalar_weight * v
+            return v
+
+        def conn_output(bc: BuiltConnection):
+            if bc.synapse is not None:
+                return filters[bc.filt_index]
+            return current_value(bc)
+
+        def gather_node_input(node):
+            x = jnp.zeros((node.size_in,), dtype)
+            for bc in node_in.get(id(node), []):
+                v = conn_output(bc)
+                if bc.post_indices is not None:
+                    x = x.at[jnp.asarray(bc.post_indices)].add(v)
+                else:
+                    x = x + v
+            return x
+
+        def gather_ens_input(be):
+            shape = (be.k, be.dim) if be.batched else (be.dim,)
+            x = jnp.zeros(shape, dtype)
+            for bc in ens_in.get(be.index, []):
+                v = conn_output(bc)
+                if bc.post_kind == "ea_batch":
+                    x = x + v.reshape(shape)
+                elif bc.post_kind == "ea_elem":
+                    if bc.post_indices is not None:
+                        x = x.at[bc.post_elem_index,
+                                 jnp.asarray(bc.post_indices)].add(v)
+                    else:
+                        x = x.at[bc.post_elem_index].add(v)
+                else:  # ens
+                    if bc.post_indices is not None:
+                        x = x.at[jnp.asarray(bc.post_indices)].add(v)
+                    else:
+                        x = x + v
+            return x
+
+        # ---- same-step topological evaluation -----------------------------
+        for kind, obj in model.topo_units:
+            if kind == "node":
+                info = model.node_info[id(obj)]
+                nk = info["kind"]
+                if nk == "tabulated":
+                    sig_node[id(obj)] = xs[input_index[id(obj)]]
+                elif nk == "const":
+                    sig_node[id(obj)] = jnp.asarray(info["const"], dtype)
+                elif nk == "jnp_func":
+                    x = gather_node_input(obj)
+                    out = obj.output(t, x) if obj.size_in > 0 else obj.output(t)
+                    sig_node[id(obj)] = jnp.asarray(out, dtype).reshape(-1)
+                else:  # passthrough
+                    sig_node[id(obj)] = gather_node_input(obj)
+            else:  # ensemble group
+                be = obj
+                p = enc_params[be.index]
+                E = (learned[f"voja_{be.voja_conn_index}"]
+                     if be.voja_conn_index is not None else p["scaled_encoders"])
+                x = gather_ens_input(be)
+                if be.batched:
+                    J = jnp.einsum("knd,kd->kn", E, x) + p["bias"]
+                else:
+                    J = E @ x + p["bias"]
+                for bc in ens_cur.get(be.index, []):
+                    v = conn_output(bc)
+                    J = J + v.reshape(J.shape)
+                ns, out = be.neuron_type.step(new_neurons[be.index], J, dt)
+                new_neurons[be.index] = ns
+                sig_act[be.index] = out
+
+        # ---- filter updates ----------------------------------------------
+        new_filters = list(filters)
+        for bc in model.connections:
+            if bc.filt_index is not None:
+                a, b = filt_coeffs[bc.filt_index]
+                new_filters[bc.filt_index] = (
+                    a * filters[bc.filt_index] + b * current_value(bc))
+            if bc.pes_act_filt_index is not None:
+                a, b = filt_coeffs[bc.pes_act_filt_index]
+                new_filters[bc.pes_act_filt_index] = (
+                    a * filters[bc.pes_act_filt_index]
+                    + b * sig_act[bc.pre.index])
+
+        # ---- learning updates --------------------------------------------
+        new_learned = dict(learned)
+        for bc in model.connections:
+            if bc.pes_rule is not None:
+                err = jnp.zeros((bc.decoders.shape[-1]
+                                 if bc.decoders is not None else 0,), dtype)
+                for rci in bc.rule_target_conns:
+                    rc = model.connections[rci]
+                    err = err + conn_output(rc)
+                acts = (new_filters[bc.pes_act_filt_index]
+                        if bc.pes_act_filt_index is not None
+                        else sig_act[bc.pre.index])
+                new_learned[bc.learned_slot] = learning_ops.pes_update(
+                    learned[bc.learned_slot], acts, err,
+                    bc.pes_rule.learning_rate, dt)
+            elif bc.voja_rule is not None:
+                gate = jnp.zeros((1,), dtype)
+                for rci in bc.rule_target_conns:
+                    rc = model.connections[rci]
+                    gate = gate + conn_output(rc)
+                learning_signal = 1.0 + gate[0]
+                be = bc.post
+                acts = sig_act[be.index]
+                pre_v = current_value(bc)
+                scale = enc_params[be.index]["gain"] / be.radius
+                new_learned[bc.learned_slot] = learning_ops.voja_update(
+                    learned[bc.learned_slot], acts, pre_v, learning_signal,
+                    scale, bc.voja_rule.learning_rate, dt)
+
+        # ---- probes -------------------------------------------------------
+        emits = {}
+        for bp in model.probes:
+            if bp.kind == "node":
+                v = sig_node[id(bp.target)]
+            elif bp.kind == "ens_decoded":
+                v = sig_act[bp.target.index] @ probe_const[bp.index]["D"]
+            elif bp.kind == "activities":
+                v = sig_act[bp.target.index]
+            elif bp.kind == "weights":
+                D = (new_learned[bp.target.learned_slot]
+                     if bp.target.learned_slot else conn_const[bp.target.index]["D"])
+                v = D.T if D.ndim == 2 else D
+            elif bp.kind == "scaled_encoders":
+                v = new_learned[bp.target.learned_slot]
+            else:
+                raise TypeError(bp.kind)
+            if bp.filt_index is not None:
+                a, b = filt_coeffs[bp.filt_index]
+                v = a * new_filters[bp.filt_index] + b * v
+                new_filters[bp.filt_index] = v
+            if not bp.sparse:
+                emits[bp.index] = v
+
+        new_state = {
+            "step": step_no + 1,
+            "neurons": new_neurons,
+            "filters": new_filters,
+            "learned": new_learned,
+        }
+        return new_state, emits
+
+    return step
+
+
+def sparse_probe_value(model: Model, state, bp: BuiltProbe):
+    """Host-side read of a sparse (weights / scaled_encoders) probe from the
+    carry at a segment boundary."""
+    if bp.kind == "weights":
+        D = (state["learned"][bp.target.learned_slot]
+             if bp.target.learned_slot else bp.target.decoders)
+        import numpy as np
+        D = np.asarray(D)
+        return D.T if D.ndim == 2 else D
+    if bp.kind == "scaled_encoders":
+        import numpy as np
+        return np.asarray(state["learned"][bp.target.learned_slot])
+    raise TypeError(bp.kind)

@@ -1,0 +1,155 @@
+"""Fixed-dt simulator: tabulate inputs, jit the step, scan over time.
+
+Replaces the external backend layer the reference selects at
+run_slam.py:198-210 (nengo.Simulator / nengo_ocl / nengo_loihi).  The whole
+simulation — including gates, clean-ups and learning — runs on device;
+the host only supplies pre-tabulated input arrays and collects probe data.
+
+The run is split into segments (one compiled ``lax.scan`` reused across
+segments) so that sparse probes (learned-weight snapshots with large
+``sample_every``) are read from the carry at segment boundaries instead of
+being materialised every step, and so progress can be reported.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .builder import Model, build
+from .executor import make_step_fn, sparse_probe_value
+from .graph import Network, Probe
+
+__all__ = ["Simulator"]
+
+
+class Simulator:
+    def __init__(self, network: Network, dt: float = 0.001,
+                 seed: Optional[int] = None, default_neuron_type=None,
+                 progress: bool = False, dtype=jnp.float32):
+        self.dt = float(dt)
+        self.progress = progress
+        self.model: Model = build(network, dt=dt, seed=seed,
+                                  default_neuron_type=default_neuron_type)
+        self._step_fn = make_step_fn(self.model, dtype=dtype)
+        self._scan_cache: Dict[int, callable] = {}
+        self.state = self.model.initial_state()
+        self.dtype = dtype
+        self.n_steps = 0
+        self._probe_data: Dict[int, list] = {bp.index: []
+                                             for bp in self.model.probes}
+        self._sparse_steps: Dict[int, list] = {bp.index: []
+                                               for bp in self.model.probes}
+
+    # ------------------------------------------------------------------
+    def _tabulate_inputs(self, n_steps: int) -> list:
+        """Evaluate f(t)-only nodes for every step on the host, once."""
+        cols = []
+        for node in self.model.input_nodes:
+            f = node.output
+            t0 = self.n_steps * self.dt
+            vals = np.empty((n_steps, node.size_out), dtype=np.float32)
+            for i in range(n_steps):
+                vals[i] = np.asarray(f(t0 + (i + 1) * self.dt),
+                                     dtype=np.float32).reshape(-1)
+            cols.append(jnp.asarray(vals))
+        return cols
+
+    def _get_scan(self, seg_len: int):
+        if seg_len not in self._scan_cache:
+            step = self._step_fn
+
+            @jax.jit
+            def run_segment(state, xs_cols):
+                def body(carry, xs):
+                    return step(carry, xs)
+                return jax.lax.scan(body, state, xs_cols, length=seg_len)
+
+            self._scan_cache[seg_len] = run_segment
+        return self._scan_cache[seg_len]
+
+    # ------------------------------------------------------------------
+    def run(self, t_sim: float, segment_steps: Optional[int] = None):
+        self.run_steps(int(round(t_sim / self.dt)), segment_steps=segment_steps)
+
+    def run_steps(self, n_steps: int, segment_steps: Optional[int] = None):
+        model = self.model
+        sparse = [bp for bp in model.probes if bp.sparse]
+        if segment_steps is None:
+            if sparse:
+                segment_steps = math.gcd(*[bp.period_steps for bp in sparse])
+            else:
+                segment_steps = n_steps
+            segment_steps = min(segment_steps, n_steps)
+        inputs = self._tabulate_inputs(n_steps)
+
+        done = 0
+        t_start = time.time()
+        while done < n_steps:
+            seg = min(segment_steps, n_steps - done)
+            xs = [col[done:done + seg] for col in inputs]
+            run_segment = self._get_scan(seg)
+            self.state, emits = run_segment(self.state, xs)
+            for bp in model.probes:
+                if bp.sparse:
+                    if (self.n_steps + done + seg) % bp.period_steps == 0:
+                        self._probe_data[bp.index].append(
+                            sparse_probe_value(model, self.state, bp)[None])
+                        self._sparse_steps[bp.index].append(
+                            self.n_steps + done + seg)
+                else:
+                    self._probe_data[bp.index].append(np.asarray(emits[bp.index]))
+            done += seg
+            if self.progress:
+                el = time.time() - t_start
+                print(f"\r  sim {done}/{n_steps} steps "
+                      f"({done / max(el, 1e-9):.0f} steps/s)", end="",
+                      flush=True)
+        if self.progress:
+            print()
+        self.n_steps += n_steps
+
+    # ------------------------------------------------------------------
+    @property
+    def data(self):
+        return _ProbeData(self)
+
+    def trange(self, sample_every: Optional[float] = None):
+        dt = self.dt if sample_every is None else sample_every
+        n = int(self.n_steps * self.dt / dt)
+        return dt * np.arange(1, n + 1)
+
+    def probe_data(self, probe: Probe) -> np.ndarray:
+        bp = next(p for p in self.model.probes if p.obj is probe)
+        chunks = self._probe_data[bp.index]
+        if not chunks:
+            return np.zeros((0,) + bp.shape)
+        full = np.concatenate(chunks, axis=0)
+        if not bp.sparse and bp.period_steps > 1:
+            full = full[bp.period_steps - 1::bp.period_steps]
+        return full
+
+    def reset(self):
+        self.state = self.model.initial_state()
+        self.n_steps = 0
+        for k in self._probe_data:
+            self._probe_data[k] = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class _ProbeData:
+    def __init__(self, sim: Simulator):
+        self._sim = sim
+
+    def __getitem__(self, probe: Probe) -> np.ndarray:
+        return self._sim.probe_data(probe)

@@ -1,0 +1,138 @@
+"""Neuron models: rate curves, gain/bias solving, and stateful spiking
+updates as pure jnp functions.
+
+These supply the capability the reference obtains from nengo's neuron types
+(``LIF``, ``LIFRate``, ``RectifiedLinear`` — selected at reference
+run_pathint.py:111-116) but as functional state transformers usable inside
+``lax.scan`` and Pallas kernels.  All state arrays broadcast: shapes may be
+(n,) or (k, n) for batched ensemble arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["NeuronType", "LIF", "LIFRate", "RectifiedLinear",
+           "SpikingRectifiedLinear"]
+
+
+@dataclasses.dataclass(frozen=True)
+class NeuronType:
+    """Base neuron type. ``rates`` is the static response curve used for
+    decoder solving; ``step`` advances dynamic state one dt."""
+
+    amplitude: float = 1.0
+    spiking: bool = False
+
+    def gain_bias(self, max_rates: np.ndarray, intercepts: np.ndarray):
+        raise NotImplementedError
+
+    def rates(self, J):
+        raise NotImplementedError
+
+    def init_state(self, shape, dtype=jnp.float32) -> Dict[str, jax.Array]:
+        return {}
+
+    def step(self, state: Dict[str, jax.Array], J: jax.Array, dt: float):
+        """Return (new_state, output). Output units: spikes are scaled by
+        amplitude/dt so filtered spike trains approximate rates."""
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(frozen=True)
+class RectifiedLinear(NeuronType):
+    """rate = amplitude * max(J, 0)."""
+
+    def gain_bias(self, max_rates, intercepts):
+        gain = max_rates / (1.0 - intercepts)
+        bias = -intercepts * gain
+        return gain, bias
+
+    def rates(self, J):
+        return self.amplitude * jnp.maximum(J, 0.0)
+
+    def step(self, state, J, dt):
+        return state, self.rates(J)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpikingRectifiedLinear(RectifiedLinear):
+    """Integrate-and-fire with a linear response curve."""
+
+    spiking: bool = True
+
+    def init_state(self, shape, dtype=jnp.float32):
+        return {"voltage": jnp.zeros(shape, dtype)}
+
+    def step(self, state, J, dt):
+        v = state["voltage"] + jnp.maximum(J, 0.0) * dt
+        n_spikes = jnp.floor(v)
+        out = (self.amplitude / dt) * n_spikes
+        return {"voltage": v - n_spikes}, out
+
+
+@dataclasses.dataclass(frozen=True)
+class LIFRate(NeuronType):
+    """Leaky integrate-and-fire rate approximation:
+    rate = amplitude / (tau_ref + tau_rc * log1p(1/(J-1))) for J > 1."""
+
+    tau_rc: float = 0.02
+    tau_ref: float = 0.002
+
+    def gain_bias(self, max_rates, intercepts):
+        inv = 1.0 / (1.0 - np.exp(
+            np.clip((self.tau_ref - 1.0 / np.asarray(max_rates)) / self.tau_rc,
+                    None, -1e-15)))
+        gain = (inv - 1.0) / (1.0 - np.asarray(intercepts))
+        bias = 1.0 - gain * np.asarray(intercepts)
+        return gain, bias
+
+    def rates(self, J):
+        Jm1 = jnp.maximum(J - 1.0, 0.0)
+        # guard the log for J <= 1 (rate is 0 there)
+        r = self.amplitude / (
+            self.tau_ref + self.tau_rc * jnp.log1p(1.0 / jnp.maximum(Jm1, 1e-12)))
+        return jnp.where(J > 1.0 + 1e-9, r, 0.0)
+
+    def step(self, state, J, dt):
+        return state, self.rates(J)
+
+
+@dataclasses.dataclass(frozen=True)
+class LIF(LIFRate):
+    """Spiking LIF with refractory period.
+
+    Membrane relaxes toward J with time constant tau_rc; a spike is emitted
+    when v crosses 1, v resets, and the neuron is refractory for tau_ref
+    (with sub-dt spike-time interpolation for accuracy, the same integration
+    scheme nengo's reference LIF uses).
+    """
+
+    spiking: bool = True
+    min_voltage: float = 0.0
+
+    def init_state(self, shape, dtype=jnp.float32):
+        return {"voltage": jnp.zeros(shape, dtype),
+                "refractory": jnp.zeros(shape, dtype)}
+
+    def step(self, state, J, dt):
+        voltage = state["voltage"]
+        refractory = state["refractory"] - dt
+        delta_t = jnp.clip(dt - refractory, 0.0, dt)
+        voltage = voltage + (J - voltage) * -jnp.expm1(-delta_t / self.tau_rc)
+
+        spiked = voltage > 1.0
+        # interpolate the spike time within the step for smoother rates
+        denom = jnp.where(spiked, jnp.maximum(J - 1.0, 1e-12), 1.0)
+        overshoot = jnp.clip((voltage - 1.0) / denom, 0.0, 1.0 - 1e-6)
+        t_spike = dt + self.tau_rc * jnp.log1p(-overshoot)
+
+        out = jnp.where(spiked, self.amplitude / dt, 0.0)
+        voltage = jnp.where(spiked, 0.0, jnp.maximum(voltage, self.min_voltage))
+        refractory = jnp.where(spiked, self.tau_ref + t_spike, refractory)
+        return {"voltage": voltage, "refractory": refractory}, out

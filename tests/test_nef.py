@@ -1,0 +1,333 @@
+"""NEF engine tests: neuron response curves, gain/bias inversion, decoder
+accuracy, synapse filtering, communication channels, recurrent integrators,
+and PES/Voja learning — the validation style SURVEY.md §4 prescribes."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sspslam_tpu import nef
+from sspslam_tpu.nef import (Connection, Ensemble, EnsembleArray, Network,
+                             Node, Probe, Simulator, PES, Voja)
+from sspslam_tpu.ops.neurons import LIF, LIFRate, RectifiedLinear
+
+
+class TestNeurons:
+    def test_lif_gain_bias_inverts_rates(self):
+        nt = LIFRate()
+        max_rates = np.array([200.0, 300.0, 400.0])
+        intercepts = np.array([-0.5, 0.0, 0.5])
+        gain, bias = nt.gain_bias(max_rates, intercepts)
+        # at x = 1 the rate should equal max_rate
+        r1 = np.asarray(nt.rates(jnp.asarray(gain * 1.0 + bias)))
+        assert np.allclose(r1, max_rates, rtol=1e-3)
+        # at the intercept the rate should be ~0
+        r0 = np.asarray(nt.rates(jnp.asarray(gain * intercepts + bias)))
+        assert np.all(r0 < 1.0)
+
+    def test_relu_gain_bias(self):
+        nt = RectifiedLinear()
+        gain, bias = nt.gain_bias(np.array([100.0]), np.array([0.2]))
+        assert np.isclose(gain * 1.0 + bias, 100.0)
+        assert np.isclose(gain * 0.2 + bias, 0.0)
+
+    def test_lif_spike_rate_matches_rate_curve(self):
+        nt = LIF()
+        dt = 0.001
+        J = jnp.asarray(np.linspace(0.5, 10.0, 32))
+        state = nt.init_state(J.shape)
+        total = np.zeros(J.shape)
+        T = 2000
+        for _ in range(T):
+            state, out = nt.step(state, J, dt)
+            total += np.asarray(out) * dt
+        empirical = total / (T * dt)
+        analytic = np.asarray(nt.rates(J))
+        assert np.allclose(empirical, analytic, atol=2.5)
+
+
+class TestSynapse:
+    def test_lowpass_step_response(self):
+        with Network() as net:
+            inp = Node(lambda t: np.array([1.0]))
+            out = Node(size_in=1)
+            Connection(inp, out, synapse=0.05)
+            p = Probe(out)
+        sim = Simulator(net, seed=0)
+        sim.run(0.3)
+        y = sim.data[p][:, 0]
+        t = sim.trange()
+        want = 1 - np.exp(-t / 0.05)
+        assert np.allclose(y, want, atol=0.05)
+
+    def test_none_synapse_is_instant(self):
+        with Network() as net:
+            inp = Node(lambda t: np.array([2.0, -1.0]))
+            out = Node(size_in=2)
+            Connection(inp, out, synapse=None)
+            p = Probe(out)
+        sim = Simulator(net, seed=0)
+        sim.run(0.01)
+        assert np.allclose(sim.data[p], [[2.0, -1.0]] * 10)
+
+    def test_transform_matrix(self):
+        W = np.array([[1.0, 2.0], [0.0, -1.0], [3.0, 0.5]])
+        with Network() as net:
+            inp = Node(lambda t: np.array([1.0, 1.0]))
+            out = Node(size_in=3)
+            Connection(inp, out, transform=W, synapse=None)
+            p = Probe(out)
+        sim = Simulator(net, seed=0)
+        sim.run(0.005)
+        assert np.allclose(sim.data[p][-1], W @ np.array([1.0, 1.0]))
+
+
+class TestCommunication:
+    @pytest.mark.parametrize("nt", [LIFRate(), None])
+    def test_channel(self, nt):
+        val = np.array([0.4, -0.3])
+        with Network(seed=1) as net:
+            inp = Node(lambda t: val)
+            ens = Ensemble(200, 2, neuron_type=nt, seed=1)
+            out = Node(size_in=2)
+            Connection(inp, ens, synapse=None)
+            Connection(ens, out, synapse=0.02)
+            p = Probe(out)
+        sim = Simulator(net, seed=1)
+        sim.run(0.3)
+        got = sim.data[p][-50:].mean(axis=0)
+        assert np.allclose(got, val, atol=0.05)
+
+    def test_decoded_function(self):
+        with Network(seed=2) as net:
+            inp = Node(lambda t: np.array([0.5]))
+            ens = Ensemble(300, 1, neuron_type=LIFRate(), seed=2)
+            out = Node(size_in=1)
+            Connection(inp, ens, synapse=None)
+            Connection(ens, out, function=lambda x: x**2, synapse=0.02)
+            p = Probe(out)
+        sim = Simulator(net, seed=2)
+        sim.run(0.3)
+        assert np.isclose(sim.data[p][-1, 0], 0.25, atol=0.05)
+
+    def test_slicing_post(self):
+        with Network(seed=3) as net:
+            a = Node(lambda t: np.array([1.0]))
+            b = Node(lambda t: np.array([-1.0]))
+            out = Node(size_in=3)
+            Connection(a, out[0], synapse=None)
+            Connection(b, out[2], synapse=None)
+            p = Probe(out)
+        sim = Simulator(net, seed=3)
+        sim.run(0.005)
+        assert np.allclose(sim.data[p][-1], [1.0, 0.0, -1.0])
+
+    def test_jnp_func_node(self):
+        with Network(seed=4) as net:
+            inp = Node(lambda t: np.array([0.3, 0.4]))
+            gate = Node(lambda t, x: jnp.where(jnp.sum(x) > 0.5, x, 0.0),
+                        size_in=2)
+            Connection(inp, gate, synapse=None)
+            p = Probe(gate)
+        sim = Simulator(net, seed=4)
+        sim.run(0.005)
+        assert np.allclose(sim.data[p][-1], [0.3, 0.4])
+
+
+class TestIntegrator:
+    def test_neural_integrator_holds_value(self):
+        """Recurrent ensemble with identity feedback holds its state."""
+        tau = 0.1
+        with Network(seed=5) as net:
+            inp = Node(lambda t: np.array([0.8 if t < 0.2 else 0.0]))
+            ens = Ensemble(400, 1, neuron_type=LIFRate(), seed=5)
+            Connection(inp, ens, transform=tau / 0.2, synapse=tau)
+            Connection(ens, ens, synapse=tau)
+            p = Probe(ens, synapse=0.02)
+        sim = Simulator(net, seed=5)
+        sim.run(1.0)
+        y = sim.data[p][:, 0]
+        # after input ends (~0.2 s), the integrator should hold ~0.8-ish
+        level = y[400]
+        drift = abs(y[-1] - level)
+        assert level > 0.5
+        assert drift < 0.15
+
+    def test_oscillator(self):
+        """Decoded harmonic oscillator: 2-D recurrent rotation."""
+        tau = 0.1
+        w = 2 * np.pi * 2.0  # 2 Hz
+
+        def feedback(x):
+            return [x[0] - tau * w * x[1], x[1] + tau * w * x[0]]
+
+        with Network(seed=6) as net:
+            kick = Node(lambda t: np.array([1.0, 0.0]) if t < 0.05
+                        else np.zeros(2))
+            ens = Ensemble(600, 2, neuron_type=LIFRate(), seed=6)
+            Connection(kick, ens, synapse=None)
+            Connection(ens, ens, function=feedback, synapse=tau)
+            p = Probe(ens, synapse=0.02)
+        sim = Simulator(net, seed=6)
+        sim.run(1.0)
+        y = sim.data[p]
+        # amplitude persists
+        assert np.max(np.abs(y[-200:, 0])) > 0.4
+        # frequency roughly 2 Hz: count zero crossings in second half
+        s = np.sign(y[500:, 0])
+        crossings = np.sum(np.abs(np.diff(s)) > 1)
+        assert 1 <= crossings <= 4  # 2 Hz over 0.5 s = 1 period = 2 crossings
+
+
+class TestEnsembleArray:
+    def test_ea_passthrough(self):
+        k, d = 4, 2
+        val = np.linspace(-0.6, 0.6, k * d)
+        with Network(seed=7) as net:
+            inp = Node(lambda t: val)
+            ea = EnsembleArray(150, k, ens_dimensions=d, neuron_type=LIFRate(),
+                               seed=7)
+            Connection(inp, ea.input, synapse=None)
+            p = Probe(ea.output, synapse=0.02)
+        sim = Simulator(net, seed=7)
+        sim.run(0.3)
+        assert np.allclose(sim.data[p][-1], val, atol=0.07)
+
+    def test_ea_add_output_square(self):
+        k = 3
+        val = np.array([0.5, -0.4, 0.8])
+        with Network(seed=8) as net:
+            inp = Node(lambda t: val)
+            ea = EnsembleArray(200, k, ens_dimensions=1, neuron_type=LIFRate(),
+                               radius=1.0, seed=8)
+            sq = ea.add_output("square", np.square)
+            Connection(inp, ea.input, synapse=None)
+            p = Probe(sq, synapse=0.02)
+        sim = Simulator(net, seed=8)
+        sim.run(0.3)
+        assert np.allclose(sim.data[p][-1], val**2, atol=0.07)
+
+    def test_batched_recurrent_ea(self):
+        """Each element holds its own value through identity feedback."""
+        from sspslam_tpu.nef import BatchedConnection
+        k = 5
+        tau = 0.1
+        vals = np.linspace(-0.5, 0.5, k)
+        with Network(seed=9) as net:
+            inp = Node(lambda t: vals if t < 0.2 else np.zeros(k))
+            ea = EnsembleArray(200, k, ens_dimensions=1, neuron_type=LIFRate(),
+                               seed=9)
+            Connection(inp, ea.input, transform=tau / 0.2 * np.eye(k),
+                       synapse=tau)
+            BatchedConnection(ea, ea, function=lambda x: x, synapse=tau)
+            p = Probe(ea.output, synapse=0.02)
+        sim = Simulator(net, seed=9)
+        sim.run(0.6)
+        end = sim.data[p][-1]
+        assert np.allclose(end, vals, atol=0.12)
+
+
+class TestLearning:
+    def test_pes_learns_identity(self):
+        """PES moves a zero-initialised decode toward the target signal."""
+        val = np.array([0.6, -0.2])
+        with Network(seed=10) as net:
+            inp = Node(lambda t: val)
+            ens = Ensemble(200, 2, neuron_type=LIFRate(), seed=10)
+            out = Node(size_in=2)
+            Connection(inp, ens, synapse=None)
+            c = Connection(ens, out, function=lambda x: np.zeros(2),
+                           learning_rule_type=PES(1e-3), synapse=0.02)
+            err = Node(size_in=2)
+            Connection(out, err, synapse=0.02)
+            Connection(inp, err, transform=-1.0, synapse=0.02)
+            Connection(err, c.learning_rule, synapse=0.02)
+            p = Probe(out, synapse=0.02)
+        sim = Simulator(net, seed=10)
+        sim.run(2.0)
+        got = sim.data[p][-100:].mean(axis=0)
+        assert np.allclose(got, val, atol=0.1)
+
+    def test_voja_moves_encoders(self):
+        """Voja drifts active encoders toward the presented key."""
+        key = np.array([1.0, 0.0])
+        with Network(seed=11) as net:
+            inp = Node(lambda t: key)
+            ens = Ensemble(50, 2, neuron_type=LIFRate(),
+                           intercepts=nef.Uniform(0.1, 0.3), seed=11)
+            c = Connection(inp, ens, synapse=None,
+                           learning_rule_type=Voja(5e-2, post_synapse=None))
+            p = Probe(c.learning_rule, attr="scaled_encoders",
+                      sample_every=None)
+        sim = Simulator(net, seed=11)
+        e0 = np.asarray(sim.state["learned"]["voja_" + str(
+            next(bc.index for bc in sim.model.connections
+                 if bc.voja_rule is not None))])
+        sim.run(1.0)
+        eT = sim.data[p][-1]
+        # normalize and measure alignment with the key
+        def align(E):
+            En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-9)
+            return En @ key
+        # active neurons (aligned enough to fire) should align more over time
+        active = align(e0) > 0.3
+        assert active.sum() > 0
+        assert np.mean(align(eT)[active]) > np.mean(align(e0)[active]) + 0.1
+
+    def test_learning_gate_inhibition(self):
+        """Driving neurons with strong negative current silences an ensemble."""
+        with Network(seed=12) as net:
+            inp = Node(lambda t: np.array([0.5]))
+            gate = Node(lambda t: np.array([10.0]))
+            ens = Ensemble(100, 1, neuron_type=LIFRate(), seed=12)
+            out = Node(size_in=1)
+            Connection(inp, ens, synapse=None)
+            Connection(gate, ens.neurons,
+                       transform=-2.5 * np.ones((100, 1)), synapse=None)
+            Connection(ens, out, synapse=0.02)
+            p = Probe(out)
+        sim = Simulator(net, seed=12)
+        sim.run(0.2)
+        assert np.abs(sim.data[p][-1, 0]) < 0.02
+
+
+class TestProbesAndDeterminism:
+    def test_sample_every(self):
+        with Network(seed=13) as net:
+            inp = Node(lambda t: np.array([t]))
+            p = Probe(inp, sample_every=0.01)
+        sim = Simulator(net, seed=13)
+        sim.run(0.1)
+        assert sim.data[p].shape[0] == 10
+        assert np.allclose(sim.data[p][:, 0], 0.01 * np.arange(1, 11), atol=1e-5)
+
+    def test_determinism(self):
+        def make():
+            with Network(seed=14) as net:
+                inp = Node(lambda t: np.array([np.sin(t)]))
+                ens = Ensemble(100, 1, seed=14)
+                Connection(inp, ens, synapse=None)
+                p = Probe(ens, synapse=0.01)
+            sim = Simulator(net, seed=14)
+            sim.run(0.1)
+            return sim.data[p]
+
+        a, b = make(), make()
+        assert np.array_equal(a, b)
+
+    def test_spiking_lif_end_to_end(self):
+        val = np.array([0.5])
+        with Network(seed=15) as net:
+            inp = Node(lambda t: val)
+            ens = Ensemble(300, 1, neuron_type=LIF(), seed=15)
+            out = Node(size_in=1)
+            Connection(inp, ens, synapse=None)
+            Connection(ens, out, synapse=0.05)
+            p = Probe(out)
+            spikes = Probe(ens.neurons)
+        sim = Simulator(net, seed=15)
+        sim.run(0.5)
+        assert np.isclose(sim.data[p][-100:].mean(), 0.5, atol=0.05)
+        sp = sim.data[spikes]
+        assert sp.shape == (500, 300)
+        assert np.all((sp == 0) | (sp == 1000.0))
