@@ -17,8 +17,21 @@ from .sspspace import (
     RectangularSSPSpace,
 )
 
+from . import nef
 from . import ops
 from . import utils
+from . import models
+from .models import (
+    AssociativeMemory,
+    CircularConvolution,
+    PathIntegration,
+    Product,
+    SLAMGatedNetwork,
+    SLAMNetwork,
+    SLAMViewNetwork,
+)
+# keep a `networks` alias mirroring the reference package layout
+networks = models
 
 __all__ = [
     "SPSpace",
@@ -26,7 +39,17 @@ __all__ = [
     "RandomSSPSpace",
     "HexagonalSSPSpace",
     "RectangularSSPSpace",
+    "nef",
     "ops",
     "utils",
+    "models",
+    "networks",
+    "AssociativeMemory",
+    "CircularConvolution",
+    "PathIntegration",
+    "Product",
+    "SLAMGatedNetwork",
+    "SLAMNetwork",
+    "SLAMViewNetwork",
     "__version__",
 ]

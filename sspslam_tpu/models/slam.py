@@ -1,0 +1,322 @@
+"""SSP-SLAM: path integration + associative map + landmark loop closure.
+
+Capability parity with reference slam.py:8-307 (``SLAMNetwork``) and its data
+adapters (:312-497), re-designed so the entire loop — including the clean-up
+argmax and the correction gate, which the reference runs as host callbacks —
+is jnp fused into the on-device step.
+
+Loop closure dataflow (reference slam.py:227-307, SURVEY.md §3.4):
+OVC population represents the SSP of the vector to the landmark in view;
+CircularConvolution binds it with the cleaned self-position into a global
+landmark SSP; the AssociativeMemory learns landmark-SP -> landmark-SSP; a
+second CircularConvolution (invert_a) unbinds the recalled landmark SSP by
+the egocentric vector to yield a position estimate; a gated correction nudges
+the path integrator toward it when a landmark is in view and the estimate is
+trustworthy (dot with the PI output above ``update_thres``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..nef import Connection, Ensemble, Network, Node, ScatteredHypersphere
+from ..nef.distributions import CosineSimilarity
+from ..ops import vsa
+from .associativememory import AssociativeMemory
+from .binding import CircularConvolution
+from .pathintegration import PathIntegration
+
+__all__ = ["SLAMNetwork", "get_slam_input_functions",
+           "get_slam_input_functions2", "make_cleanup_fun"]
+
+
+def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100):
+    """Return (cleanup_fun, sample_ssps, sample_points): a jnp-traceable
+    clean-up (argmax over a precomputed SSP bank — one matvec on device,
+    replacing the host callback at reference slam.py:212-222)."""
+    sample_ssps, sample_points = ssp_space.get_sample_pts_and_ssps(samples_per_dim)
+    bank = jnp.asarray(sample_ssps, jnp.float32)
+
+    def cleanup_fun(x):
+        return vsa.cleanup_from_set(bank, x)
+
+    return cleanup_fun, sample_ssps, sample_points
+
+
+class SLAMNetwork(Network):
+    """Full SSP-SLAM network.
+
+    Required inputs: ``velocity_input`` (domain_dim), ``landmark_vec_ssp``
+    (d), ``landmark_id_input`` (d; the landmark SP), ``no_landmark_in_view``
+    (1; 0 when a landmark is visible, large otherwise).
+    Output: ``output`` — the path integrator's SSP self-position estimate.
+    """
+
+    def __init__(self, ssp_space, lm_space, view_rad, n_landmarks,
+                 pi_n_neurons, mem_n_neurons, circonv_n_neurons,
+                 tau=0.01, tau_pi=0.05,
+                 update_thres=0.2, vel_scaling_factor=1.0,
+                 rad_scaling_factor=1.0, shift_rate=0.1,
+                 voja_learning_rate=5e-4, pes_learning_rate=1e-2,
+                 clean_up_method="grid", gc_n_neurons=0, encoders=None,
+                 voja=True, seed=0, landmark_sps=None, intercept=None,
+                 cleanup_samples_per_dim=100, label="slam"):
+        super().__init__(label=label, seed=seed)
+
+        domain_dim = ssp_space.domain_dim
+        d = ssp_space.ssp_dim
+
+        rng = np.random.RandomState(seed=seed)
+        if landmark_sps is None:
+            landmark_sps = lm_space.vectors
+        if (not voja) and (encoders is None):
+            encoders = landmark_sps[rng.randint(n_landmarks, size=mem_n_neurons), :]
+        if intercept is None:
+            intercept = min(
+                (landmark_sps @ landmark_sps.T - np.eye(n_landmarks)).max(), 0.5)
+
+        # object-vector-cell encoders: SSPs of scattered displacement vectors
+        ovc_n_neurons = mem_n_neurons
+        ovc_vectors = ScatteredHypersphere(
+            surface=False, min_magnitude=1e-3).sample(
+            ovc_n_neurons, domain_dim, rng=np.random.default_rng(seed))
+        OVC_encoders = ssp_space.encode(ovc_vectors)
+
+        if clean_up_method == "grid":
+            clean_up_fun, sample_ssps, sample_points = make_cleanup_fun(
+                ssp_space, samples_per_dim=cleanup_samples_per_dim)
+            self.sample_ssps = sample_ssps
+            self.sample_points = sample_points
+        elif clean_up_method in ("network", "network-optim"):
+            ssp_space.train_decoder_net()
+            params = ssp_space.decoder_params
+            phase = jnp.asarray(ssp_space.phase_matrix, jnp.float32)
+            ls = jnp.asarray(ssp_space.length_scale.flatten(), jnp.float32)
+
+            def clean_up_fun(x):
+                from ..sspspace import _mlp_apply
+                pt = _mlp_apply(params, x[None, :])[0]
+                return vsa.encode(phase, pt, ls)
+        elif clean_up_method is None:
+            clean_up_fun = None
+        else:
+            raise NotImplementedError(
+                f"clean_up_method {clean_up_method!r}: use 'grid', 'network', "
+                "'network-optim' or None in the compiled model")
+        self.clean_up_fun = clean_up_fun
+
+        def update_state_func(t, x):
+            pos_est = x[:d]
+            pi_est = x[d:2 * d]
+            no_view = x[-1]
+            ok = (jnp.abs(no_view) < 1e-3) & (
+                jnp.sum(pos_est * pi_est) > update_thres)
+            return jnp.where(ok, shift_rate * (pos_est - pi_est),
+                             jnp.zeros(d, x.dtype))
+
+        mk_unitary = _np_make_unitary
+
+        with self:
+            self.velocity_input = Node(size_in=domain_dim, label="vel_input")
+            self.landmark_id_input = Node(size_in=d, label="lm_id_input")
+            self.landmark_vec_ssp = Node(size_in=d, label="lm_vecssp_input")
+            self.no_landmark_in_view = Node(size_in=1, label="lm_in_view_input")
+
+            self.update_state = Node(update_state_func, size_in=2 * d + 1)
+            Connection(self.no_landmark_in_view, self.update_state[-1],
+                       synapse=None)
+
+            # path integrator
+            self.pathintegrator = PathIntegration(
+                ssp_space, pi_n_neurons, tau_pi,
+                max_radius=rad_scaling_factor,
+                scaling_factor=vel_scaling_factor, stable=True,
+                label="pathint")
+            self.output = self.pathintegrator.output
+            Connection(self.velocity_input, self.pathintegrator.velocity_input,
+                       synapse=None)
+            Connection(self.update_state, self.pathintegrator.input,
+                       synapse=None)
+
+            # object vector cells
+            self.ovc_ens = Ensemble(ovc_n_neurons, d, encoders=OVC_encoders,
+                                    label="ovc")
+            Connection(self.landmark_vec_ssp, self.ovc_ens, synapse=None)
+
+            # bind cleaned self-position with the egocentric landmark SSP
+            self.landmark_ssp_ens = CircularConvolution(
+                circonv_n_neurons, dimensions=d, label="landmark_circonv")
+            Connection(self.ovc_ens, self.landmark_ssp_ens.input_b,
+                       synapse=None)
+
+            # clean-up of the PI output
+            if clean_up_fun is None:
+                self.gridcells = None
+                Connection(self.pathintegrator.output,
+                           self.landmark_ssp_ens.input_a, synapse=tau)
+            elif gc_n_neurons <= 0:
+                self.gridcells = Node(lambda t, x: clean_up_fun(x), size_in=d,
+                                      label="cleanup")
+                Connection(self.pathintegrator.output, self.gridcells,
+                           synapse=tau)
+                Connection(self.gridcells, self.landmark_ssp_ens.input_a,
+                           synapse=None)
+            else:
+                gc_encoders = ssp_space.sample_grid_encoders(gc_n_neurons)
+                self.cleanup = Node(lambda t, x: clean_up_fun(x), size_in=d,
+                                    label="cleanup")
+                self.gridcells = Ensemble(
+                    gc_n_neurons, d, encoders=gc_encoders,
+                    intercepts=CosineSimilarity(d + 2), label="gridcells")
+                Connection(self.pathintegrator.output, self.cleanup,
+                           synapse=tau)
+                Connection(self.cleanup, self.gridcells, synapse=None)
+                Connection(self.gridcells, self.landmark_ssp_ens.input_a,
+                           synapse=tau)
+
+            # environment map
+            self.assomemory = AssociativeMemory(
+                mem_n_neurons, d, d, intercept,
+                voja_learning_rate=voja_learning_rate,
+                pes_learning_rate=pes_learning_rate,
+                voja=voja, encoders=encoders)
+            Connection(self.landmark_id_input, self.assomemory.key_input,
+                       synapse=None)
+            Connection(self.landmark_ssp_ens.output,
+                       self.assomemory.value_input, synapse=tau)
+            Connection(self.no_landmark_in_view, self.assomemory.learning,
+                       synapse=None)
+
+            # position estimate: unbind recalled landmark SSP by the OVC vector
+            self.position_estimate = CircularConvolution(
+                circonv_n_neurons, d, invert_a=True, label="newpos_circonv")
+            Connection(self.ovc_ens, self.position_estimate.input_a,
+                       synapse=tau, function=mk_unitary)
+            Connection(self.assomemory.recall, self.position_estimate.input_b,
+                       synapse=tau, function=mk_unitary)
+
+            # gated correction into the path integrator
+            Connection(self.position_estimate.output, self.update_state[:d],
+                       synapse=tau)
+            Connection(self.pathintegrator.output,
+                       self.update_state[d:2 * d], synapse=tau)
+
+
+def _np_make_unitary(x):
+    """NumPy make-unitary for decoder solving (vectorised over rows)."""
+    x = np.atleast_2d(np.asarray(x, dtype=np.float64))
+    fx = np.fft.fft(x, axis=-1)
+    fx = fx / np.maximum(np.abs(fx), 1e-8)
+    out = np.fft.ifft(fx, axis=-1).real
+    return out if out.shape[0] > 1 else out[0]
+
+
+# ---------------------------------------------------------------------------
+# Data -> input-signal adapters (reference slam.py:312-497)
+# ---------------------------------------------------------------------------
+
+def get_slam_input_functions(ssp_space, lm_space, velocity_data,
+                             vec_to_landmarks_data, view_rad, dt=0.001):
+    """Convert recorded trajectory/landmark data into time-callables for
+    input nodes (single nearest landmark in view).
+
+    Returns (velocity_func, vel_scaling_factor, is_landmark_in_view,
+    landmark_id_func, landmark_sp_func, landmark_vec_func,
+    landmark_vecssp_func) — all are ``f(t)`` and get tabulated to device
+    arrays at run start."""
+    pathlen, n_landmarks, domain_dim = vec_to_landmarks_data.shape
+    d = ssp_space.ssp_dim
+    landmark_sps = lm_space.vectors
+
+    vel_scaling_factor = 1 / np.max(
+        np.abs(ssp_space.phase_matrix @ velocity_data.T))
+    vels_scaled = velocity_data * vel_scaling_factor
+
+    def step_of(t):
+        return min(max(int(round((t - dt) / dt)), 0), pathlen - 1)
+
+    # precompute nearest-in-view landmark per timestep
+    dists = np.linalg.norm(vec_to_landmarks_data, axis=2)  # (T, L)
+    nearest = np.argmin(dists, axis=1)
+    in_view = dists[np.arange(pathlen), nearest] <= view_rad
+    lm_ids = np.where(in_view, nearest, -1)
+
+    vec_rows = vec_to_landmarks_data[np.arange(pathlen), nearest, :]
+    vec_ssp_rows = np.asarray(ssp_space.encode(vec_rows))
+
+    def velocity_func(t):
+        return vels_scaled[step_of(t)]
+
+    def landmark_id_func(t):
+        return lm_ids[step_of(t)]
+
+    def landmark_vec_func(t):
+        i = step_of(t)
+        return vec_rows[i] if lm_ids[i] >= 0 else np.zeros(domain_dim)
+
+    def landmark_sp_func(t):
+        i = step_of(t)
+        return landmark_sps[lm_ids[i]] if lm_ids[i] >= 0 else np.zeros(d)
+
+    def landmark_vecssp_func(t):
+        i = step_of(t)
+        return vec_ssp_rows[i] if lm_ids[i] >= 0 else np.zeros(d)
+
+    def is_landmark_in_view(t):
+        return 0.0 if lm_ids[step_of(t)] >= 0 else 10.0
+
+    return (velocity_func, vel_scaling_factor, is_landmark_in_view,
+            landmark_id_func, landmark_sp_func, landmark_vec_func,
+            landmark_vecssp_func)
+
+
+def get_slam_input_functions2(ssp_space, lm_space, velocity_data,
+                              vec_to_landmarks_data, view_rad, dt=0.001):
+    """Multi-landmark version: superimposes the SPs / vec-SSPs of all
+    landmarks within the view radius (reference slam.py:442-497)."""
+    pathlen, n_landmarks, domain_dim = vec_to_landmarks_data.shape
+    d = ssp_space.ssp_dim
+    landmark_sps = lm_space.vectors
+
+    vel_scaling_factor = 1 / np.max(
+        np.abs(ssp_space.phase_matrix @ velocity_data.T))
+    vels_scaled = velocity_data * vel_scaling_factor
+
+    def step_of(t):
+        return min(max(int(round((t - dt) / dt)), 0), pathlen - 1)
+
+    dists = np.linalg.norm(vec_to_landmarks_data, axis=2)  # (T, L)
+    mask = dists <= view_rad                               # (T, L)
+    any_in_view = mask.any(axis=1)
+
+    sum_vecs = np.einsum("tl,tln->tn", mask, vec_to_landmarks_data)
+    sum_sps = mask.astype(np.float64) @ landmark_sps        # (T, d)
+    # encode each in-view vector then superimpose
+    all_ssps = np.asarray(ssp_space.encode(
+        vec_to_landmarks_data.reshape(-1, domain_dim))).reshape(
+        pathlen, n_landmarks, d)
+    sum_vec_ssps = np.einsum("tl,tld->td", mask, all_ssps)
+
+    def velocity_func(t):
+        return vels_scaled[step_of(t)]
+
+    def landmark_id_func(t):
+        i = step_of(t)
+        return np.where(mask[i])[0] if any_in_view[i] else None
+
+    def landmark_vec_func(t):
+        return sum_vecs[step_of(t)]
+
+    def landmark_sp_func(t):
+        return sum_sps[step_of(t)]
+
+    def landmark_vecssp_func(t):
+        return sum_vec_ssps[step_of(t)]
+
+    def is_landmark_in_view(t):
+        return 0.0 if any_in_view[step_of(t)] else 10.0
+
+    return (velocity_func, vel_scaling_factor, is_landmark_in_view,
+            landmark_id_func, landmark_sp_func, landmark_vec_func,
+            landmark_vecssp_func)

@@ -1,0 +1,172 @@
+"""Local-view-cell SLAM variant.
+
+Capability parity with reference slam_view.py:7-404 (``SLAMViewNetwork``):
+a single ``view_input`` carries the superposition sum_i SP_i * phi(x_i - x)
+(precomputed, normalised); the associative memory learns view -> cleaned
+self-position-SSP directly (key = view vector, value = PI output after
+clean-up); the gated correction is the same as in SLAMNetwork.  No OVC or
+binding subnetworks are needed inside the model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..nef import Connection, Ensemble, Network, Node
+from ..nef.distributions import CosineSimilarity
+from .associativememory import AssociativeMemory
+from .pathintegration import PathIntegration
+from .slam import make_cleanup_fun, _np_make_unitary
+
+__all__ = ["SLAMViewNetwork", "get_slamview_input_functions"]
+
+
+class SLAMViewNetwork(Network):
+    def __init__(self, ssp_space, lm_space, view_rad, n_landmarks,
+                 pi_n_neurons, mem_n_neurons, circonv_n_neurons,
+                 tau=0.01, tau_pi=0.05,
+                 update_thres=0.2, vel_scaling_factor=1.0,
+                 rad_scaling_factor=1.0, shift_rate=0.1,
+                 voja_learning_rate=5e-4, pes_learning_rate=1e-2,
+                 clean_up_method="grid", gc_n_neurons=0, encoders=None,
+                 voja=True, seed=0, cleanup_samples_per_dim=100,
+                 label="slamview"):
+        super().__init__(label=label, seed=seed)
+
+        domain_dim = ssp_space.domain_dim
+        d = ssp_space.ssp_dim
+
+        rng = np.random.RandomState(seed=seed)
+        landmark_sps = lm_space.vectors
+        if (not voja) and (encoders is None):
+            encoders = landmark_sps[rng.randint(n_landmarks, size=mem_n_neurons), :]
+        intercept = (landmark_sps @ landmark_sps.T - np.eye(n_landmarks)).max()
+
+        if clean_up_method == "grid":
+            clean_up_fun, sample_ssps, sample_points = make_cleanup_fun(
+                ssp_space, samples_per_dim=cleanup_samples_per_dim)
+            self.sample_ssps = sample_ssps
+            self.sample_points = sample_points
+        elif clean_up_method is None:
+            clean_up_fun = None
+        else:
+            raise NotImplementedError(clean_up_method)
+        self.clean_up_fun = clean_up_fun
+
+        def update_state_func(t, x):
+            est = x[:d]
+            pi_est = x[d:2 * d]
+            no_view = x[-1]
+            ok = (jnp.abs(no_view) < 1e-3) & (
+                jnp.sum(est * pi_est) > update_thres)
+            return jnp.where(ok, shift_rate * (est - pi_est),
+                             jnp.zeros(d, x.dtype))
+
+        with self:
+            self.velocity_input = Node(size_in=domain_dim, label="vel_input")
+            self.view_input = Node(size_in=d, label="lm_input")
+            self.no_landmark_in_view = Node(size_in=1, label="lm_in_view_input")
+
+            self.update_state = Node(update_state_func, size_in=2 * d + 1)
+            Connection(self.no_landmark_in_view, self.update_state[-1],
+                       synapse=None)
+
+            self.pathintegrator = PathIntegration(
+                ssp_space, pi_n_neurons, tau_pi,
+                max_radius=rad_scaling_factor,
+                scaling_factor=vel_scaling_factor, stable=True,
+                label="pathint")
+            self.output = self.pathintegrator.output
+            Connection(self.velocity_input, self.pathintegrator.velocity_input,
+                       synapse=None)
+            Connection(self.update_state, self.pathintegrator.input,
+                       synapse=None)
+
+            # environment map: view vector -> self-position SSP
+            self.assomemory = AssociativeMemory(
+                mem_n_neurons, d, d, intercept,
+                voja_learning_rate=voja_learning_rate,
+                pes_learning_rate=pes_learning_rate,
+                voja=voja, encoders=encoders)
+            Connection(self.view_input, self.assomemory.key_input, synapse=None)
+            Connection(self.no_landmark_in_view, self.assomemory.learning,
+                       synapse=None)
+
+            # clean-up of the PI output feeds the memory's value
+            if clean_up_fun is None:
+                self.gridcells = None
+                Connection(self.pathintegrator.output,
+                           self.assomemory.value_input, synapse=tau)
+            elif gc_n_neurons <= 0:
+                self.gridcells = Node(lambda t, x: clean_up_fun(x), size_in=d,
+                                      label="cleanup")
+                Connection(self.pathintegrator.output, self.gridcells,
+                           synapse=tau)
+                Connection(self.gridcells, self.assomemory.value_input,
+                           synapse=None)
+            else:
+                gc_encoders = ssp_space.sample_grid_encoders(gc_n_neurons)
+                self.cleanup = Node(lambda t, x: clean_up_fun(x), size_in=d,
+                                    label="cleanup")
+                self.gridcells = Ensemble(
+                    gc_n_neurons, d, encoders=gc_encoders,
+                    intercepts=CosineSimilarity(d + 2), label="gridcells")
+                Connection(self.pathintegrator.output, self.cleanup, synapse=tau)
+                Connection(self.cleanup, self.gridcells, synapse=None)
+                Connection(self.gridcells, self.assomemory.value_input,
+                           synapse=tau)
+
+            # gated correction using the recalled position directly
+            Connection(self.assomemory.recall, self.update_state[:d],
+                       function=_np_make_unitary, synapse=tau)
+            Connection(self.pathintegrator.output,
+                       self.update_state[d:2 * d], synapse=tau)
+
+
+def get_slamview_input_functions(ssp_space, lm_space, velocity_data,
+                                 vec_to_landmarks_data, view_rad, dt=0.001):
+    """Adapters for SLAMViewNetwork (reference slam_view.py:281-404):
+    the view signal is the normalised superposition of SP_i bound with the
+    SSP of the egocentric vector to each in-view landmark.
+
+    Returns (velocity_func, vel_scaling_factor, is_landmark_in_view,
+    landmark_func)."""
+    pathlen, n_landmarks, domain_dim = vec_to_landmarks_data.shape
+    d = ssp_space.ssp_dim
+    landmark_sps = lm_space.vectors
+
+    real_freqs = ssp_space.phase_matrix @ velocity_data.T
+    vel_scaling_factor = 1 / np.max(np.abs(real_freqs))
+    vels_scaled = velocity_data * vel_scaling_factor
+
+    def step_of(t):
+        return min(max(int(round((t - dt) / dt)), 0), pathlen - 1)
+
+    dists = np.linalg.norm(vec_to_landmarks_data, axis=2)  # (T, L)
+    mask = dists < view_rad
+    any_in_view = mask.any(axis=1)
+
+    # bound view vector per timestep: sum_i SP_i * phi(vec_i), normalised
+    all_ssps = np.asarray(ssp_space.encode(
+        vec_to_landmarks_data.reshape(-1, domain_dim))).reshape(
+        pathlen, n_landmarks, d)
+    bound = np.stack([
+        np.asarray(ssp_space.bind(
+            np.tile(landmark_sps[l][None, :], (pathlen, 1)),
+            all_ssps[:, l, :]))
+        for l in range(n_landmarks)], axis=1)          # (T, L, d)
+    views = np.einsum("tl,tld->td", mask, bound)
+    norms = np.linalg.norm(views, axis=1, keepdims=True)
+    views = np.where(norms > 1e-8, views / np.maximum(norms, 1e-8), views)
+
+    def velocity_func(t):
+        return vels_scaled[step_of(t)]
+
+    def landmark_func(t):
+        return views[step_of(t)]
+
+    def is_landmark_in_view(t):
+        return 0.0 if any_in_view[step_of(t)] else 1.0
+
+    return velocity_func, vel_scaling_factor, is_landmark_in_view, landmark_func

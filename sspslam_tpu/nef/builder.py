@@ -291,11 +291,13 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         if isinstance(pre, ObjView):
             base = pre.obj
             if isinstance(base, Node):
-                return "node", base, pre.indices, None
+                return "node", base, pre.indices_for(base.size_out), None
             if isinstance(base, Ensemble):
-                return "ens_view", built_by_obj[id(base)], pre.indices, None
+                return ("ens_view", built_by_obj[id(base)],
+                        pre.indices_for(base.dimensions), None)
             if isinstance(base, EAElement):
-                return "ea_elem", built_by_obj[id(base.ea)], pre.indices, base.index
+                return ("ea_elem", built_by_obj[id(base.ea)],
+                        pre.indices_for(base.dimensions), base.index)
             raise TypeError(f"bad pre view base {base!r}")
         if isinstance(pre, Node):
             return "node", pre, None, None
@@ -313,11 +315,13 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         if isinstance(post, ObjView):
             base = post.obj
             if isinstance(base, Node):
-                return "node", base, post.indices, None
+                return "node", base, post.indices_for(base.size_in), None
             if isinstance(base, Ensemble):
-                return "ens", built_by_obj[id(base)], post.indices, None
+                return ("ens", built_by_obj[id(base)],
+                        post.indices_for(base.dimensions), None)
             if isinstance(base, EAElement):
-                return "ea_elem", built_by_obj[id(base.ea)], post.indices, base.index
+                return ("ea_elem", built_by_obj[id(base.ea)],
+                        post.indices_for(base.dimensions), base.index)
             raise TypeError(f"bad post view base {base!r}")
         if isinstance(post, Node):
             return "node", post, None, None
@@ -376,15 +380,38 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             f"transform shape {W.shape} != ({psize}, {prsize})")
         return W, 1.0
 
+    _decoder_cache: Dict[tuple, np.ndarray] = {}
+
     def solve_decoders(be: BuiltEnsemble, function, reg, pre_indices=None,
                        targets_out_dim=None):
-        """Solve decoders for a (possibly batched) built ensemble."""
+        """Solve decoders for a (possibly batched) built ensemble. Cached so
+        k per-element connections sharing a function solve one batched
+        problem."""
+        key = (id(be), id(function) if function is not None else None, reg,
+               tuple(pre_indices) if pre_indices is not None else None)
+        if key in _decoder_cache:
+            return _decoder_cache[key]
+        out = _solve_decoders_impl(be, function, reg, pre_indices)
+        _decoder_cache[key] = out
+        return out
+
+    def _solve_decoders_impl(be: BuiltEnsemble, function, reg, pre_indices=None):
         ep = be.eval_points  # (P, dim), represented space
+        P = ep.shape[0]
         if function is None:
             targets = ep.copy()
         else:
-            targets = np.asarray([np.atleast_1d(np.asarray(function(x), dtype=np.float64))
-                                  for x in ep])
+            targets = None
+            try:  # vectorised functions evaluate the whole batch at once
+                batch = np.asarray(function(ep), dtype=np.float64)
+                if batch.ndim == 2 and batch.shape[0] == P:
+                    targets = batch
+            except Exception:
+                pass
+            if targets is None:
+                targets = np.asarray(
+                    [np.atleast_1d(np.asarray(function(x), dtype=np.float64))
+                     for x in ep])
         if pre_indices is not None:
             targets = targets[:, pre_indices]
         acts = be.activities_at_eval()

@@ -116,20 +116,34 @@ class Network:
 
 
 class ObjView:
-    """A slice of an Ensemble/Node used as a connection endpoint."""
+    """A slice of an Ensemble/Node used as a connection endpoint.
+
+    Index resolution is deferred to build time: a node's slice refers to its
+    *input* when used as a connection post and its *output* when used as a
+    pre (sizes may differ, and function-node output sizes are only known at
+    build)."""
 
     def __init__(self, obj, key):
         self.obj = obj
-        if isinstance(key, slice):
-            self.indices = np.arange(obj.size_out if isinstance(obj, Node)
-                                     else obj.dimensions)[key]
-        else:
-            self.indices = np.atleast_1d(np.arange(
-                obj.size_out if isinstance(obj, Node) else obj.dimensions)[key])
-        self.size = len(self.indices)
+        self.key = key
+
+    def indices_for(self, size: int) -> np.ndarray:
+        if isinstance(self.key, slice):
+            return np.arange(size)[self.key]
+        return np.atleast_1d(np.arange(size)[self.key])
+
+    @property
+    def indices(self):
+        base = self.obj
+        size = base.size_out if isinstance(base, Node) else base.dimensions
+        return self.indices_for(size)
+
+    @property
+    def size(self):
+        return len(self.indices)
 
     def __repr__(self):
-        return f"{self.obj}[{self.indices}]"
+        return f"{self.obj}[{self.key}]"
 
 
 class Neurons:
@@ -386,6 +400,11 @@ class EnsembleArray(Network):
         # element views for per-element wiring
         self.ea_ensembles = [EAElement(self, j) for j in range(n_ensembles)]
         self._outputs = {}  # name -> (function, out_dim)
+        self.neurons = Neurons(self)  # flat view over all k*n neurons
+
+    @property
+    def n_neurons(self):
+        return self.n_ensembles * self.n_neurons_per
 
     def add_output(self, name: str, function, out_dim: Optional[int] = None,
                    solver_reg: float = 0.1):

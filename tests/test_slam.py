@@ -1,0 +1,162 @@
+"""End-to-end SLAM model tests (small scale, rate neurons, seeded) —
+the compiled-model analogue of the reference's empirical validation scripts
+(run_slam.py / run_slamview.py metrics)."""
+
+import numpy as np
+import pytest
+
+from sspslam_tpu import HexagonalSSPSpace, SPSpace
+from sspslam_tpu.models import (SLAMNetwork, SLAMGatedNetwork,
+                                SLAMViewNetwork, get_slam_input_functions,
+                                get_slamview_input_functions)
+from sspslam_tpu.nef import (Connection, LIFRate, Network, Node, Probe,
+                             Simulator, WhiteSignal)
+
+
+def make_world(T=2.0, dt=0.001, seed=0, n_landmarks=3, radius=1.0, high=None):
+    rng = np.random.default_rng(seed)
+    n_steps = int(T / dt)
+    if high is None:
+        high = max(0.5, 3.0 / T)  # keep at least one band under the cutoff
+    path = np.hstack([
+        WhiteSignal(T, high=high, seed=seed + i).run(T, dt=dt)
+        for i in range(2)])
+    for i in range(2):
+        lo, hi = path[:, i].min(), path[:, i].max()
+        path[:, i] = (path[:, i] - lo) / max(hi - lo, 1e-9) * 1.6 - 0.8
+    vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
+    landmarks = rng.uniform(-0.7, 0.7, size=(n_landmarks, 2))
+    vec_to_landmarks = landmarks[None, :, :] - path[:, None, :]
+    return path, vels, vec_to_landmarks
+
+
+@pytest.fixture(scope="module")
+def space():
+    bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
+    return HexagonalSSPSpace(2, ssp_dim=55, seed=0, length_scale=0.3,
+                             domain_bounds=bounds)
+
+
+class TestSLAMNetwork:
+    def test_end_to_end(self, space):
+        T = 2.0
+        path, vels, vec_to_lm = make_world(T=T, seed=0, high=0.5)
+        d = space.ssp_dim
+        lm_space = SPSpace(3, d, seed=0)
+        view_rad = 0.6
+
+        (velocity_func, vel_scaling_factor, is_landmark_in_view, _,
+         landmark_sp_func, _, landmark_vecssp_func) = get_slam_input_functions(
+            space, lm_space, vels, vec_to_lm, view_rad)
+
+        real_ssp = space.encode(path)
+        with Network(seed=0) as net:
+            vel = Node(velocity_func)
+            init = Node(lambda t: real_ssp[0] if t < 0.05 else np.zeros(d))
+            lm_id = Node(landmark_sp_func)
+            lm_ssp = Node(landmark_vecssp_func)
+            in_view = Node(is_landmark_in_view)
+            slam = SLAMNetwork(space, lm_space, view_rad, 3,
+                               pi_n_neurons=250, mem_n_neurons=300,
+                               circonv_n_neurons=60,
+                               vel_scaling_factor=vel_scaling_factor,
+                               cleanup_samples_per_dim=30, seed=0)
+            Connection(vel, slam.velocity_input, synapse=None)
+            Connection(init, slam.pathintegrator.input, synapse=None)
+            Connection(lm_id, slam.landmark_id_input, synapse=None)
+            Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
+            Connection(in_view, slam.no_landmark_in_view, synapse=None)
+            p = Probe(slam.pathintegrator.output, synapse=0.05)
+        sim = Simulator(net, seed=0, default_neuron_type=LIFRate())
+        sim.run(T)
+        out = sim.data[p]
+        assert out.shape == (2000, d)
+        # cosine similarity with ground truth stays positive after warmup
+        sims = np.sum(out * real_ssp, axis=1) / np.maximum(
+            np.linalg.norm(out, axis=1), 1e-9)
+        assert np.mean(sims[500:]) > 0.5
+        # decoded path error bounded
+        dec = space.decode(out[::100], num_samples=50)
+        err = np.linalg.norm(dec - path[::100], axis=1)
+        assert np.median(err[5:]) < 0.45
+
+    def test_multi_landmark_adapter(self, space):
+        from sspslam_tpu.models import get_slam_input_functions2
+        path, vels, vec_to_lm = make_world(T=0.5, seed=1)
+        lm_space = SPSpace(3, space.ssp_dim, seed=1)
+        out = get_slam_input_functions2(space, lm_space, vels, vec_to_lm, 0.8)
+        velocity_func, scale, in_view_f, id_f, sp_f, vec_f, vecssp_f = out
+        assert np.isfinite(scale)
+        v = vecssp_f(0.1)
+        assert v.shape == (space.ssp_dim,)
+
+
+class TestSLAMViewNetwork:
+    def test_end_to_end(self, space):
+        T = 1.0
+        path, vels, vec_to_lm = make_world(T=T, seed=2, high=1.0)
+        d = space.ssp_dim
+        lm_space = SPSpace(3, d, seed=2)
+        view_rad = 0.8
+
+        velocity_func, scale, in_view_f, landmark_func = \
+            get_slamview_input_functions(space, lm_space, vels, vec_to_lm,
+                                         view_rad)
+        real_ssp = space.encode(path)
+        with Network(seed=2) as net:
+            vel = Node(velocity_func)
+            init = Node(lambda t: real_ssp[0] if t < 0.05 else np.zeros(d))
+            view = Node(landmark_func)
+            in_view = Node(in_view_f)
+            slam = SLAMViewNetwork(space, lm_space, view_rad, 3,
+                                   pi_n_neurons=200, mem_n_neurons=250,
+                                   circonv_n_neurons=50,
+                                   vel_scaling_factor=scale,
+                                   cleanup_samples_per_dim=30, seed=2)
+            Connection(vel, slam.velocity_input, synapse=None)
+            Connection(init, slam.pathintegrator.input, synapse=None)
+            Connection(view, slam.view_input, synapse=None)
+            Connection(in_view, slam.no_landmark_in_view, synapse=None)
+            p = Probe(slam.pathintegrator.output, synapse=0.05)
+        sim = Simulator(net, seed=2, default_neuron_type=LIFRate())
+        sim.run(T)
+        out = sim.data[p]
+        sims = np.sum(out * real_ssp[:out.shape[0]], axis=1) / np.maximum(
+            np.linalg.norm(out, axis=1), 1e-9)
+        assert np.mean(sims[300:]) > 0.3
+
+
+class TestSLAMGatedNetwork:
+    def test_end_to_end(self, space):
+        T = 1.0
+        path, vels, vec_to_lm = make_world(T=T, seed=3, high=1.0)
+        d = space.ssp_dim
+        lm_space = SPSpace(3, d, seed=3)
+        view_rad = 0.8
+
+        (velocity_func, scale, in_view_f, _, sp_f, _, vecssp_f) = \
+            get_slam_input_functions(space, lm_space, vels, vec_to_lm, view_rad)
+        real_ssp = space.encode(path)
+        with Network(seed=3) as net:
+            vel = Node(velocity_func)
+            init = Node(lambda t: real_ssp[0] if t < 0.05 else np.zeros(d))
+            lm_sp = Node(sp_f)
+            lm_ssp = Node(vecssp_f)
+            in_view = Node(in_view_f)
+            slam = SLAMGatedNetwork(space, lm_space, view_rad, 3,
+                                    pi_n_neurons=200, mem_n_neurons=250,
+                                    circonv_n_neurons=50,
+                                    dotprod_n_neurons=50,
+                                    velocity_input=vel,
+                                    landmark_vecssp_input=lm_ssp,
+                                    landmark_sp_input=lm_sp,
+                                    no_landmark_in_view=in_view,
+                                    vel_scaling_factor=scale, seed=3)
+            Connection(init, slam.pathintegrator.input, synapse=None)
+            p = Probe(slam.pathintegrator.output, synapse=0.05)
+        sim = Simulator(net, seed=3, default_neuron_type=LIFRate())
+        sim.run(T)
+        out = sim.data[p]
+        sims = np.sum(out * real_ssp[:out.shape[0]], axis=1) / np.maximum(
+            np.linalg.norm(out, axis=1), 1e-9)
+        assert np.mean(sims[300:]) > 0.3
