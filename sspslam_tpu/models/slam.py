@@ -113,7 +113,7 @@ class SLAMNetwork(Network):
             ok = (jnp.abs(no_view) < 1e-3) & (
                 jnp.sum(pos_est * pi_est) > update_thres)
             return jnp.where(ok, shift_rate * (pos_est - pi_est),
-                             jnp.zeros(d, x.dtype))
+                             jnp.zeros_like(x[:d]))
 
         mk_unitary = _np_make_unitary
 

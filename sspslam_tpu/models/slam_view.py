@@ -61,7 +61,7 @@ class SLAMViewNetwork(Network):
             ok = (jnp.abs(no_view) < 1e-3) & (
                 jnp.sum(est * pi_est) > update_thres)
             return jnp.where(ok, shift_rate * (est - pi_est),
-                             jnp.zeros(d, x.dtype))
+                             jnp.zeros_like(x[:d]))
 
         with self:
             self.velocity_input = Node(size_in=domain_dim, label="vel_input")

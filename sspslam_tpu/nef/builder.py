@@ -65,14 +65,22 @@ class BuiltEnsemble:
     _acts_cache: Optional[np.ndarray] = None
 
     def activities_at_eval(self) -> np.ndarray:
-        """Static rates at eval points: (P, n) or (k, P, n)."""
+        """Static rates at eval points: (P, n) or (k, P, n).
+
+        float32 throughout — matching the precision the reference's
+        accelerated backend (nengo_ocl) builds with; the normal-equation
+        solve accumulates in float64."""
         if self._acts_cache is None:
-            E = self.scaled_encoders
+            ep = self.eval_points.astype(np.float32)
             if self.batched:
-                J = np.einsum("knd,pd->kpn", E, self.eval_points) + self.bias[:, None, :]
+                Et = np.ascontiguousarray(
+                    self.scaled_encoders.transpose(0, 2, 1), dtype=np.float32)
+                J = ep[None] @ Et + self.bias[:, None, :].astype(np.float32)
             else:
-                J = self.eval_points @ E.T + self.bias[None, :]
-            self._acts_cache = np.asarray(self.neuron_type.rates(jnp.asarray(J)))
+                Et = np.ascontiguousarray(self.scaled_encoders.T,
+                                          dtype=np.float32)
+                J = ep @ Et + self.bias[None, :].astype(np.float32)
+            self._acts_cache = self.neuron_type.rates_np(J).astype(np.float32)
         return self._acts_cache
 
 

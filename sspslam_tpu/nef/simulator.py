@@ -29,16 +29,24 @@ __all__ = ["Simulator"]
 
 
 class Simulator:
+    """``mesh``: an optional ``jax.sharding.Mesh`` — the carry is annotated
+    with model-parallel shardings (VCO/neuron axes) and the scan jitted over
+    the mesh, letting GSPMD partition the step across chips."""
+
     def __init__(self, network: Network, dt: float = 0.001,
                  seed: Optional[int] = None, default_neuron_type=None,
-                 progress: bool = False, dtype=jnp.float32):
+                 progress: bool = False, dtype=jnp.float32, mesh=None):
         self.dt = float(dt)
         self.progress = progress
         self.model: Model = build(network, dt=dt, seed=seed,
                                   default_neuron_type=default_neuron_type)
         self._step_fn = make_step_fn(self.model, dtype=dtype)
         self._scan_cache: Dict[int, callable] = {}
+        self.mesh = mesh
         self.state = self.model.initial_state()
+        if mesh is not None:
+            from ..parallel.sharding import shard_state
+            self.state = shard_state(self.model, self.state, mesh)
         self.dtype = dtype
         self.n_steps = 0
         self._probe_data: Dict[int, list] = {bp.index: []
@@ -64,11 +72,22 @@ class Simulator:
         if seg_len not in self._scan_cache:
             step = self._step_fn
 
-            @jax.jit
             def run_segment(state, xs_cols):
                 def body(carry, xs):
                     return step(carry, xs)
                 return jax.lax.scan(body, state, xs_cols, length=seg_len)
+
+            if self.mesh is not None:
+                from ..parallel.sharding import state_shardings, replicated
+                sh = state_shardings(self.model, self.mesh)
+                n_inputs = len(self.model.input_nodes)
+                rep = replicated(self.mesh)
+                run_segment = jax.jit(
+                    run_segment,
+                    in_shardings=(sh, [rep] * n_inputs),
+                    donate_argnums=0)
+            else:
+                run_segment = jax.jit(run_segment, donate_argnums=0)
 
             self._scan_cache[seg_len] = run_segment
         return self._scan_cache[seg_len]

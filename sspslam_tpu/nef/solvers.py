@@ -20,12 +20,12 @@ def lstsq_l2(activities: np.ndarray, targets: np.ndarray, reg: float = 0.1):
 
     activities : (m, n); targets : (m, d)  ->  D : (n, d)
     """
-    A = np.asarray(activities, dtype=np.float64)
-    Y = np.asarray(targets, dtype=np.float64)
+    A = np.asarray(activities, dtype=np.float32)
+    Y = np.asarray(targets, dtype=np.float32)
     m, n = A.shape
     sigma = reg * A.max() if A.size else reg
-    G = A.T @ A + m * sigma**2 * np.eye(n)
-    B = A.T @ Y
+    G = (A.T @ A).astype(np.float64) + m * sigma**2 * np.eye(n)
+    B = (A.T @ Y).astype(np.float64)
     return np.linalg.solve(G, B)
 
 
@@ -33,13 +33,13 @@ def lstsq_l2_batched(activities: np.ndarray, targets: np.ndarray,
                      reg: float = 0.1):
     """Batched solve: activities (k, m, n), targets (k, m, d) or (m, d)
     shared  ->  (k, n, d)."""
-    A = np.asarray(activities, dtype=np.float64)
-    Y = np.asarray(targets, dtype=np.float64)
+    A = np.asarray(activities, dtype=np.float32)
+    Y = np.asarray(targets, dtype=np.float32)
     k, m, n = A.shape
     if Y.ndim == 2:
         Y = np.broadcast_to(Y, (k,) + Y.shape)
-    sigma = reg * A.max(axis=(1, 2), keepdims=True)  # (k,1,1)
-    G = np.einsum("kmn,kmp->knp", A, A) + (
-        m * sigma**2 * np.eye(n)[None, :, :])
-    B = np.einsum("kmn,kmd->knd", A, Y)
+    sigma = reg * A.max(axis=(1, 2), keepdims=True).astype(np.float64)
+    At = np.ascontiguousarray(A.transpose(0, 2, 1))
+    G = (At @ A).astype(np.float64) + m * sigma**2 * np.eye(n)[None, :, :]
+    B = (At @ Y).astype(np.float64)
     return np.linalg.solve(G, B)

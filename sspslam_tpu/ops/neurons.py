@@ -35,6 +35,10 @@ class NeuronType:
     def rates(self, J):
         raise NotImplementedError
 
+    def rates_np(self, J: np.ndarray) -> np.ndarray:
+        """Host NumPy twin of ``rates`` for build-time decoder solving."""
+        raise NotImplementedError
+
     def init_state(self, shape, dtype=jnp.float32) -> Dict[str, jax.Array]:
         return {}
 
@@ -55,6 +59,9 @@ class RectifiedLinear(NeuronType):
 
     def rates(self, J):
         return self.amplitude * jnp.maximum(J, 0.0)
+
+    def rates_np(self, J):
+        return self.amplitude * np.maximum(J, 0.0)
 
     def step(self, state, J, dt):
         return state, self.rates(J)
@@ -98,6 +105,13 @@ class LIFRate(NeuronType):
         r = self.amplitude / (
             self.tau_ref + self.tau_rc * jnp.log1p(1.0 / jnp.maximum(Jm1, 1e-12)))
         return jnp.where(J > 1.0 + 1e-9, r, 0.0)
+
+    def rates_np(self, J):
+        J = np.asarray(J)
+        Jm1 = np.maximum(J - 1.0, 0.0)
+        r = self.amplitude / (
+            self.tau_ref + self.tau_rc * np.log1p(1.0 / np.maximum(Jm1, 1e-12)))
+        return np.where(J > 1.0 + 1e-9, r, 0.0)
 
     def step(self, state, J, dt):
         return state, self.rates(J)

@@ -21,6 +21,8 @@ Conventions
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -48,60 +50,96 @@ __all__ = [
 
 
 # ---------------------------------------------------------------------------
-# Fractional-power encoding  phi(x) = IFFT(exp(i * A * (x / ell)))
+# Real half-spectrum DFT machinery
+# ---------------------------------------------------------------------------
+# The target TPU backend has no FFT or complex arithmetic; for the d~10^2
+# vectors used here, DFT-as-matmul on the MXU is the faster choice anyway.
+# All ops below are pure real arithmetic built from cached (d//2+1, d)
+# forward matrices and their (d, d//2+1) conjugate-symmetric inverses.
+
+@lru_cache(maxsize=64)
+def _rdft_mats(d: int):
+    """(W_re, W_im, M_c, M_s):
+    forward:  Z_j = (W_re @ x)_j + i (W_im @ x)_j   for j in [0, d//2]
+    inverse:  x = M_c @ Re(Z) + M_s @ Im(Z)          (conj-symmetric Z)
+    """
+    h = d // 2 + 1
+    ang = 2.0 * np.pi * np.outer(np.arange(h), np.arange(d)) / d
+    W_re = np.cos(ang)
+    W_im = -np.sin(ang)
+    coef = np.full(h, 2.0)
+    coef[0] = 1.0
+    if d % 2 == 0:
+        coef[-1] = 1.0
+    M_c = (coef[None, :] * np.cos(ang).T) / d
+    M_s = -(coef[None, :] * np.sin(ang).T) / d
+    f32 = np.float32
+    return (jnp.asarray(W_re, f32), jnp.asarray(W_im, f32),
+            jnp.asarray(M_c, f32), jnp.asarray(M_s, f32))
+
+
+def rfft_pair(v: jax.Array):
+    """(Re, Im) of the half-spectrum DFT of a real vector, shapes (..., h)."""
+    d = v.shape[-1]
+    W_re, W_im, _, _ = _rdft_mats(d)
+    return (jnp.einsum("hd,...d->...h", W_re, v),
+            jnp.einsum("hd,...d->...h", W_im, v))
+
+
+def irfft_pair(re: jax.Array, im: jax.Array, d: int) -> jax.Array:
+    """Real inverse DFT from half-spectrum (Re, Im) parts."""
+    _, _, M_c, M_s = _rdft_mats(d)
+    return (jnp.einsum("dh,...h->...d", M_c, re)
+            + jnp.einsum("dh,...h->...d", M_s, im))
+
+
+# ---------------------------------------------------------------------------
+# Fractional-power encoding  phi(x) = IDFT(exp(i * A * (x / ell)))
 # ---------------------------------------------------------------------------
 
 def encode(phase_matrix: jax.Array, x: jax.Array, length_scale) -> jax.Array:
     """SSP encoding of points ``x``.
 
-    Parameters
-    ----------
     phase_matrix : (d, n) conjugate-symmetric phase matrix A.
-    x : (..., n) points in the domain.
-    length_scale : scalar or (n,) per-axis length scale.
+    x : (..., n); length_scale : scalar or (n,).
+    Returns (..., d) real SSP vectors.
 
-    Returns
-    -------
-    (..., d) real SSP vectors.
-
-    Matches the formula at reference sspspace.py:272 (``ifft(exp(i A x/l))``),
-    computed via rfft layout for efficiency: only the first d//2+1 phases are
-    materialised and ``irfft`` reconstructs the real vector.
+    Same formula as reference sspspace.py:272 (``ifft(exp(i A x/l))``) but in
+    real arithmetic: cos/sin of the half-spectrum phases followed by the
+    inverse-DFT matmul.
     """
     d = phase_matrix.shape[0]
+    h = d // 2 + 1
     ls = jnp.broadcast_to(jnp.asarray(length_scale, dtype=x.dtype), x.shape[-1:])
-    xs = x / ls
-    # (..., d) phases
-    phases = jnp.einsum("dn,...n->...d", phase_matrix.astype(xs.dtype), xs)
-    half = phases[..., : d // 2 + 1]
-    fssp = jnp.exp(1j * half.astype(jnp.complex64))
-    return jnp.fft.irfft(fssp, n=d, axis=-1)
+    A_half = jnp.asarray(phase_matrix)[:h].astype(x.dtype)
+    phases = jnp.einsum("hn,...n->...h", A_half, x / ls)
+    return irfft_pair(jnp.cos(phases), jnp.sin(phases), d)
 
 
-def encode_fourier(phase_matrix: jax.Array, x: jax.Array, length_scale) -> jax.Array:
-    """Full complex Fourier coefficients exp(i A x / l); (..., d) complex."""
+def encode_fourier(phase_matrix: jax.Array, x: jax.Array, length_scale):
+    """(Re, Im) of the full Fourier coefficients exp(i A x / l), (..., d)."""
     ls = jnp.broadcast_to(jnp.asarray(length_scale, dtype=x.dtype), x.shape[-1:])
-    phases = jnp.einsum("dn,...n->...d", phase_matrix.astype(x.dtype), x / ls)
-    return jnp.exp(1j * phases.astype(jnp.complex64))
+    phases = jnp.einsum("dn,...n->...d", jnp.asarray(phase_matrix).astype(x.dtype),
+                        x / ls)
+    return jnp.cos(phases), jnp.sin(phases)
 
 
 def encode_and_deriv(phase_matrix: jax.Array, x: jax.Array, length_scale):
-    """SSP encoding and its Jacobian d phi / d x.
-
-    Returns ``(phi, dphi)`` with shapes (..., d) and (..., d, n).
-    Mirrors reference sspspace.py:275-300.
-    """
-    d = phase_matrix.shape[0]
-    n = phase_matrix.shape[1]
+    """SSP encoding and its Jacobian d phi / d x: ((..., d), (..., d, n)).
+    Mirrors reference sspspace.py:275-300."""
+    d, n = phase_matrix.shape
+    h = d // 2 + 1
     ls = jnp.broadcast_to(jnp.asarray(length_scale, dtype=x.dtype), (n,))
-    A_ls = phase_matrix / ls[None, :]
-    phases = jnp.einsum("dn,...n->...d", A_ls.astype(x.dtype), x)
-    half_slice = slice(0, d // 2 + 1)
-    fssp = jnp.exp(1j * phases[..., half_slice].astype(jnp.complex64))
-    phi = jnp.fft.irfft(fssp, n=d, axis=-1)
-    # dphi/dx_j = irfft(i * A[:,j]/l_j * exp(i A x / l))
-    dfssp = 1j * A_ls[half_slice, :].astype(jnp.complex64) * fssp[..., None]
-    dphi = jnp.fft.irfft(dfssp, n=d, axis=-2)
+    A_ls = (jnp.asarray(phase_matrix) / ls[None, :]).astype(x.dtype)
+    phases = jnp.einsum("hn,...n->...h", A_ls[:h], x)
+    c, s = jnp.cos(phases), jnp.sin(phases)
+    phi = irfft_pair(c, s, d)
+    # d z/dx_j = i A_j z  ->  Re' = -sin * A_j, Im' = cos * A_j
+    dre = -s[..., :, None] * A_ls[:h]                     # (..., h, n)
+    dim = c[..., :, None] * A_ls[:h]
+    _, _, M_c, M_s = _rdft_mats(d)
+    dphi = (jnp.einsum("dh,...hn->...dn", M_c, dre)
+            + jnp.einsum("dh,...hn->...dn", M_s, dim))
     return phi, dphi
 
 
@@ -110,19 +148,21 @@ def encode_and_deriv(phase_matrix: jax.Array, x: jax.Array, length_scale):
 # ---------------------------------------------------------------------------
 
 def bind(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Circular convolution a * b along the last axis (reference binding.py:12)."""
+    """Circular convolution a * b along the last axis (reference binding.py:12),
+    as real half-spectrum matmuls (TPU has no FFT; the MXU eats these)."""
     d = a.shape[-1]
-    fa = jnp.fft.rfft(a, axis=-1)
-    fb = jnp.fft.rfft(b, axis=-1)
-    return jnp.fft.irfft(fa * fb, n=d, axis=-1)
+    ar, ai = rfft_pair(a)
+    br, bi = rfft_pair(b)
+    return irfft_pair(ar * br - ai * bi, ar * bi + ai * br, d)
 
 
 def unbind(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Circular correlation: bind with the involution of ``a`` (conj in Fourier)."""
+    """Circular correlation: bind with the involution of ``a`` (conj in
+    Fourier)."""
     d = a.shape[-1]
-    fa = jnp.fft.rfft(a, axis=-1)
-    fb = jnp.fft.rfft(b, axis=-1)
-    return jnp.fft.irfft(jnp.conj(fa) * fb, n=d, axis=-1)
+    ar, ai = rfft_pair(a)
+    br, bi = rfft_pair(b)
+    return irfft_pair(ar * br + ai * bi, ar * bi - ai * br, d)
 
 
 def invert(a: jax.Array) -> jax.Array:
@@ -143,13 +183,16 @@ def make_unitary(v: jax.Array, eps: float = 1e-8) -> jax.Array:
     """Project all Fourier coefficients onto the unit circle
     (reference sspspace.py:511-514)."""
     d = v.shape[-1]
-    fv = jnp.fft.fft(v, axis=-1)
-    fv = fv / jnp.maximum(jnp.abs(fv), eps)
-    return jnp.real(jnp.fft.ifft(fv, axis=-1))
+    re, im = rfft_pair(v)
+    mag = jnp.maximum(jnp.sqrt(re * re + im * im), eps)
+    return irfft_pair(re / mag, im / mag, d)
 
 
-def make_unitary_fourier(fv: jax.Array, eps: float = 1e-8) -> jax.Array:
-    return fv / jnp.maximum(jnp.abs(fv), eps)
+def make_unitary_fourier(fv, eps: float = 1e-8):
+    """Normalise (Re, Im) half-spectrum pairs onto the unit circle."""
+    re, im = fv
+    mag = jnp.maximum(jnp.sqrt(re * re + im * im), eps)
+    return re / mag, im / mag
 
 
 def identity_vector(d: int, dtype=jnp.float32) -> jax.Array:

@@ -65,7 +65,7 @@ class SPSpace:
             self.vectors = np.asarray(vectors, dtype=np.float64)
         else:
             v = uniform_hypersphere(self.domain_size, self.dim, rng, surface=True)
-            v = np.array(self.make_unitary(v))
+            v = self._np_make_unitary(v)
             # Gram-Schmidt style pass to reduce cross-talk between symbols
             for j in range(self.domain_size):
                 q = v[j] / np.linalg.norm(v[j])
@@ -78,6 +78,12 @@ class SPSpace:
         i = np.asarray(i).reshape(-1).astype(int)
         return self.vectors[i]
 
+    @staticmethod
+    def _np_make_unitary(v):
+        fv = np.fft.fft(np.atleast_2d(v), axis=1)
+        fv = fv / np.maximum(np.sqrt(fv.real**2 + fv.imag**2), 1e-12)
+        return np.fft.ifft(fv, axis=1).real
+
     def decode(self, v, **kwargs):
         sims = self.vectors @ np.atleast_2d(v).T
         return np.argmax(sims, axis=0)
@@ -89,7 +95,7 @@ class SPSpace:
         return v / np.sqrt(np.sum(v**2))
 
     def make_unitary(self, v):
-        return _as_np(vsa.make_unitary(jnp.asarray(np.atleast_2d(v))))
+        return self._np_make_unitary(v)
 
     def identity(self):
         s = np.zeros(self.dim)
@@ -97,7 +103,10 @@ class SPSpace:
         return s
 
     def bind(self, a, b):
-        return _as_np(vsa.bind(jnp.asarray(np.atleast_2d(a)), jnp.asarray(np.atleast_2d(b))))
+        a = np.atleast_2d(a)
+        b = np.atleast_2d(b)
+        return np.fft.ifft(np.fft.fft(a, axis=1) * np.fft.fft(b, axis=1),
+                           axis=1).real
 
     def invert(self, a):
         a = np.atleast_2d(a)
@@ -174,20 +183,28 @@ class SSPSpace:
         return self.length_scale.flatten()
 
     def encode(self, x):
+        """phi(x) = ifft(exp(i A x / l)); host NumPy (build-time path — the
+        on-device twin is :func:`sspslam_tpu.ops.vsa.encode`)."""
         x = np.atleast_2d(np.asarray(x, dtype=np.float64))
-        return _as_np(vsa.encode(jnp.asarray(self.phase_matrix), jnp.asarray(x),
-                                 jnp.asarray(self._ls_vec)))
+        scaled = x / self._ls_vec[None, :]
+        data = np.fft.ifft(np.exp(1j * self.phase_matrix @ scaled.T), axis=0).real
+        return data.T
 
     def encode_fourier(self, x):
         x = np.atleast_2d(np.asarray(x, dtype=np.float64))
-        return _as_np(vsa.encode_fourier(jnp.asarray(self.phase_matrix), jnp.asarray(x),
-                                         jnp.asarray(self._ls_vec)))
+        scaled = x / self._ls_vec[None, :]
+        return np.exp(1j * self.phase_matrix @ scaled.T).T
 
     def encode_and_deriv(self, x):
         x = np.atleast_2d(np.asarray(x, dtype=np.float64))
-        phi, dphi = vsa.encode_and_deriv(jnp.asarray(self.phase_matrix), jnp.asarray(x),
-                                         jnp.asarray(self._ls_vec))
-        return _as_np(phi), _as_np(dphi)
+        ls_inv = np.diag(1.0 / self._ls_vec)
+        scaled = x @ ls_inv
+        fssp = np.exp(1j * self.phase_matrix @ scaled.T)       # (d, P)
+        phi = np.fft.ifft(fssp, axis=0).real.T
+        A_ls = self.phase_matrix @ ls_inv                       # (d, n)
+        dfssp = 1j * A_ls[:, None, :] * fssp[:, :, None]        # (d, P, n)
+        dphi = np.fft.ifft(dfssp, axis=0).real.transpose(1, 0, 2)
+        return phi, dphi
 
     # -- decoding -----------------------------------------------------------
     def decode(self, ssp, method="from-set", sampling_method="grid",
@@ -232,12 +249,12 @@ class SSPSpace:
             if self.decoder_params is None:
                 raise RuntimeError("Network not trained for decoding. "
                                    "Call train_decoder_net first.")
-            return _as_np(_mlp_apply(self.decoder_params, jnp.asarray(ssp)))
+            return _as_np(_mlp_apply_jit(self.decoder_params, jnp.asarray(ssp, jnp.float32)))
         elif method == "network-optim":
             if self.decoder_params is None:
                 raise RuntimeError("Network not trained for decoding. "
                                    "Call train_decoder_net first.")
-            x0 = _as_np(_mlp_apply(self.decoder_params, jnp.asarray(ssp)))
+            x0 = _as_np(_mlp_apply_jit(self.decoder_params, jnp.asarray(ssp, jnp.float32)))
             mat = self.phase_matrix @ np.diag(1 / self._ls_vec)
             lo = hi = None
             if self.domain_bounds is not None:
@@ -302,7 +319,10 @@ class SSPSpace:
         return ssp / np.maximum(np.sqrt(np.sum(np.asarray(ssp)**2)), 1e-8)
 
     def make_unitary(self, ssp):
-        return _as_np(vsa.make_unitary(jnp.asarray(np.asarray(ssp))))
+        ssp = np.asarray(ssp)
+        fssp = np.fft.fft(ssp, axis=-1)
+        fssp = fssp / np.maximum(np.abs(fssp), 1e-8)
+        return np.fft.ifft(fssp, axis=-1).real
 
     def make_unitary_fourier(self, fssp):
         return fssp / np.maximum(np.abs(fssp), 1e-8)
@@ -313,7 +333,10 @@ class SSPSpace:
         return s
 
     def bind(self, a, b):
-        return _as_np(vsa.bind(jnp.asarray(np.atleast_2d(a)), jnp.asarray(np.atleast_2d(b))))
+        a = np.atleast_2d(a)
+        b = np.atleast_2d(b)
+        return np.fft.ifft(np.fft.fft(a, axis=1) * np.fft.fft(b, axis=1),
+                           axis=1).real
 
     def invert(self, a):
         a = np.atleast_2d(a)
@@ -397,14 +420,12 @@ class SSPSpace:
                                                  method="Rd")
         ssps = jnp.asarray(ssps, dtype=jnp.float32)
         pts = jnp.asarray(pts, dtype=jnp.float32)
-        key = jax.random.PRNGKey(0)
-        k1, k2, k3 = jax.random.split(key, 3)
+        nprng = np.random.default_rng(0)
         d, h, n = self.ssp_dim, n_hidden_units, self.domain_dim
-        params = [
-            jax.random.normal(k1, (d, d)) * np.sqrt(2.0 / d), jnp.zeros(d),
-            jax.random.normal(k2, (d, h)) * np.sqrt(2.0 / d), jnp.zeros(h),
-            jax.random.normal(k3, (h, n)) * np.sqrt(2.0 / h), jnp.zeros(n),
-        ]
+        params = [jnp.asarray(a, jnp.float32) for a in (
+            nprng.normal(size=(d, d)) * np.sqrt(2.0 / d), np.zeros(d),
+            nprng.normal(size=(d, h)) * np.sqrt(2.0 / d), np.zeros(h),
+            nprng.normal(size=(h, n)) * np.sqrt(2.0 / h), np.zeros(n))]
         tx = optax.adam(learning_rate)
         opt_state = tx.init(params)
 
@@ -452,52 +473,63 @@ def _mlp_apply(params, x):
     return h @ w3 + b3
 
 
+_mlp_apply_jit = jax.jit(_mlp_apply)
+
+
 def _newton_refine(mat, unit_fssp_targets, x0, lo, hi, iters=20):
-    """Batched damped-Newton maximisation of <exp(i M x), FFT(target)>.
+    """Batched damped-Newton maximisation of Re<exp(i M x), conj(F(target))>.
 
     Vectorised analogue of the reference's per-row L-BFGS-B refinement
     (sspspace.py:359-396): gradient and Hessian are analytic in the Fourier
-    domain; all rows advance in parallel on device.
+    domain; all rows advance in parallel on device, in REAL arithmetic
+    (cos/sin — the TPU backend has no complex support).
+
+    The reference's objective (np.inner on complex vectors, no conjugate)
+    actually peaks at -x — a latent bug never hit because its experiments
+    decode with 'from-set'; the conjugated form used here peaks at +x.
     """
-    # Conjugated Fourier targets so <exp(i M x), conj(F(target))> peaks at the
-    # encoded point. (The reference's direct-optim objective, sspspace.py:361-373,
-    # omits the conjugate — np.inner on complex vectors — which peaks at -x;
-    # a latent bug never hit because its experiments decode with 'from-set'.)
-    targets = jnp.conj(jnp.fft.fft(unit_fssp_targets, axis=-1))
+    tgt = np.conj(np.fft.fft(np.asarray(unit_fssp_targets), axis=-1))
+    t_re = jnp.asarray(tgt.real, jnp.float32)
+    t_im = jnp.asarray(tgt.imag, jnp.float32)
+    mat = jnp.asarray(mat, jnp.float32)
+    x0 = jnp.asarray(x0, jnp.float32)
+    lo_hi = None
+    if lo is not None:
+        lo_hi = (jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32))
 
-    def neg_obj(x, tgt):
-        f = jnp.exp(1j * (mat @ x).astype(jnp.complex64))
-        return -jnp.real(jnp.sum(f * tgt))
+    def phasor_prod(x, tr, ti):
+        ph = mat @ x
+        fr, fi = jnp.cos(ph), jnp.sin(ph)
+        return fr * tr - fi * ti, fr * ti + fi * tr   # Re/Im of f * t
 
-    def grad_hess(x, tgt):
-        f = jnp.exp(1j * (mat @ x).astype(jnp.complex64))
-        ft = f * tgt
-        g = -jnp.real(1j * (mat.T.astype(jnp.complex64) @ ft))
-        H = jnp.real(mat.T.astype(jnp.complex64) @ (ft[:, None] * mat.astype(jnp.complex64)))
-        return g, H
+    def neg_obj(x, tr, ti):
+        zr, _ = phasor_prod(x, tr, ti)
+        return -jnp.sum(zr)
 
-    def step(x, tgt):
-        g, H = grad_hess(x, tgt)
+    def step(x, tr, ti):
+        zr, zi = phasor_prod(x, tr, ti)
+        g = mat.T @ zi
+        H = mat.T @ (zr[:, None] * mat)
         n = x.shape[0]
-        Hd = H + 1e-6 * jnp.eye(n)
-        dx = jnp.linalg.solve(Hd, -g)
-        # guard against indefinite-Hessian steps: candidate line search over
-        # damped Newton and normalised gradient directions, keep the best.
+        dx = jnp.linalg.solve(H + 1e-6 * jnp.eye(n), -g)
         gnorm = g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
         cands = jnp.stack([
             x,
             x + dx, x + 0.5 * dx, x + 0.1 * dx,
             x - 0.1 * gnorm, x - 0.02 * gnorm, x - 0.004 * gnorm,
         ])
-        if lo is not None:
-            cands = jnp.clip(cands, jnp.asarray(lo), jnp.asarray(hi))
-        fvals = jax.vmap(lambda c: neg_obj(c, tgt))(cands)
+        if lo_hi is not None:
+            cands = jnp.clip(cands, lo_hi[0], lo_hi[1])
+        fvals = jax.vmap(lambda c: neg_obj(c, tr, ti))(cands)
         return cands[jnp.argmin(fvals)]
 
-    def body(i, xs):
-        return jax.vmap(step)(xs, targets)
+    @jax.jit
+    def run(x0):
+        def body(i, xs):
+            return jax.vmap(step)(xs, t_re, t_im)
+        return jax.lax.fori_loop(0, iters, body, x0)
 
-    return jax.lax.fori_loop(0, iters, body, x0)
+    return run(x0)
 
 
 class RandomSSPSpace(SSPSpace):
