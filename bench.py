@@ -1,0 +1,152 @@
+"""Benchmark: SLAMNetwork sim-step throughput on the current accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "steps/s", "vs_baseline": N}
+
+Config matches the reference's run_slam.py defaults (ssp_dim=97 hexagonal
+2-D, 800 LIF/VCO x 49 VCOs, 970-neuron memory/error/recall, 100-neuron/dim
+circular-convolution nets — ~1e5 LIF neurons at dt=1 ms; reference
+experiments/run_slam.py:23-34).
+
+``vs_baseline`` is the measured speedup over this repo's NumPy per-step
+interpreter (sspslam_tpu/nef/reference_backend.py) running the SAME built
+model on this host — the stand-in for the reference's nengo CPU loop, which
+cannot run here (nengo is not installable in this environment; the reference
+repo itself publishes no numbers, see BASELINE.md).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build(args):
+    from sspslam_tpu import HexagonalSSPSpace, SPSpace
+    from sspslam_tpu.models import SLAMNetwork, get_slam_input_functions
+    from sspslam_tpu.nef import Connection, LIF, Network, Node, Probe, Simulator
+
+    dt = 0.001
+    seed = args.seed
+    rng = np.random.default_rng(seed)
+    bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
+    space = HexagonalSSPSpace(2, ssp_dim=args.ssp_dim, seed=seed,
+                              length_scale=0.3, domain_bounds=bounds)
+    d = space.ssp_dim
+    T_data = max(args.timed_steps + args.warmup_steps, 2000) * dt
+    n_steps = int(T_data / dt)
+    ts = dt * np.arange(n_steps)
+    path = 0.8 * np.stack([np.sin(2 * np.pi * ts / T_data),
+                           np.cos(4 * np.pi * ts / T_data)], axis=1)
+    vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
+    landmarks = rng.uniform(-0.7, 0.7, size=(args.n_landmarks, 2))
+    vec_to_lm = landmarks[None, :, :] - path[:, None, :]
+    lm_space = SPSpace(args.n_landmarks, d, seed=seed)
+
+    (velocity_func, scale, in_view_f, _, sp_f, _, vecssp_f) = \
+        get_slam_input_functions(space, lm_space, vels, vec_to_lm, 0.8)
+
+    ssp0 = space.encode(path[:1]).flatten()
+    with Network(seed=seed) as net:
+        vel = Node(velocity_func)
+        init = Node(lambda t: ssp0 if t < 0.05 else np.zeros(d))
+        lm_id = Node(sp_f)
+        lm_ssp = Node(vecssp_f)
+        in_view = Node(in_view_f)
+        slam = SLAMNetwork(space, lm_space, 0.8, args.n_landmarks,
+                           pi_n_neurons=args.pi_n_neurons,
+                           mem_n_neurons=args.mem_n_neurons,
+                           circonv_n_neurons=args.circonv_n_neurons,
+                           vel_scaling_factor=scale,
+                           cleanup_samples_per_dim=args.cleanup_samples,
+                           seed=seed)
+        Connection(vel, slam.velocity_input, synapse=None)
+        Connection(init, slam.pathintegrator.input, synapse=None)
+        Connection(lm_id, slam.landmark_id_input, synapse=None)
+        Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
+        Connection(in_view, slam.no_landmark_in_view, synapse=None)
+        p = Probe(slam.pathintegrator.output, synapse=0.05)
+
+    t0 = time.time()
+    sim = Simulator(net, seed=seed)
+    log(f"build: {time.time() - t0:.1f}s")
+    n_neurons = sum((be.k * be.n if be.batched else be.n)
+                    for be in sim.model.ensembles)
+    log(f"model: d={d}, total neurons={n_neurons}")
+    return sim, p, space, path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ssp-dim", type=int, default=97)
+    ap.add_argument("--pi-n-neurons", type=int, default=800)
+    ap.add_argument("--mem-n-neurons", type=int, default=970)
+    ap.add_argument("--circonv-n-neurons", type=int, default=100)
+    ap.add_argument("--n-landmarks", type=int, default=10)
+    ap.add_argument("--cleanup-samples", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--warmup-steps", type=int, default=200)
+    ap.add_argument("--timed-steps", type=int, default=5000)
+    ap.add_argument("--baseline-steps", type=int, default=15)
+    ap.add_argument("--skip-baseline", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    log(f"devices: {jax.devices()}")
+
+    sim, probe, space, path = build(args)
+
+    # warmup (includes compile)
+    t0 = time.time()
+    sim.run_steps(args.warmup_steps, segment_steps=args.warmup_steps)
+    log(f"compile+warmup ({args.warmup_steps} steps): {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    sim.run_steps(args.timed_steps, segment_steps=args.timed_steps)
+    # block on results
+    _ = sim.data[probe]
+    elapsed = time.time() - t0
+    steps_per_s = args.timed_steps / elapsed
+    log(f"timed: {args.timed_steps} steps in {elapsed:.2f}s "
+        f"-> {steps_per_s:.0f} steps/s")
+
+    # sanity: tracking quality over what was simulated
+    out = sim.data[probe]
+    k = out.shape[0]
+    real = space.encode(path[:k])
+    sims = np.sum(out * real, axis=1) / np.maximum(
+        np.linalg.norm(out, axis=1), 1e-9)
+    log(f"tracking cosine sim (last quarter): {np.mean(sims[-k // 4:]):.3f}")
+
+    vs_baseline = float("nan")
+    if not args.skip_baseline:
+        from sspslam_tpu.nef.reference_backend import NumpyStepper
+        ref = NumpyStepper(sim.model)
+        tables = [np.asarray(c)[:args.baseline_steps]
+                  for c in sim._tabulate_inputs(args.baseline_steps)]
+        ref.run_steps(2, tables)  # warm caches
+        t0 = time.time()
+        ref.run_steps(args.baseline_steps, tables)
+        ref_sps = args.baseline_steps / (time.time() - t0)
+        log(f"numpy reference interpreter: {ref_sps:.1f} steps/s")
+        vs_baseline = steps_per_s / ref_sps
+
+    print(json.dumps({
+        "metric": "SLAMNetwork sim-steps/s/chip at dt=1ms "
+                  "(ssp_dim=97, ~1e5 LIF neurons; vs_baseline = speedup over "
+                  "NumPy per-step interpreter on same model/host)",
+        "value": round(steps_per_s, 1),
+        "unit": "steps/s",
+        "vs_baseline": (round(vs_baseline, 1)
+                        if np.isfinite(vs_baseline) else None),
+    }))
+
+
+if __name__ == "__main__":
+    main()

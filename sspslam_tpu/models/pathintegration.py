@@ -178,7 +178,8 @@ class PathIntegrationReencode(PathIntegration):
             return jnp.where(active, cleaned - x, jnp.zeros_like(x))
 
         with self:
-            cleanup = Node(cleanup_fun, size_in=d, label=f"{label}_cleanup")
+            cleanup = Node(cleanup_fun, size_in=d, size_out=d,
+                           label=f"{label}_cleanup")
             Connection(self.oscillators.output, cleanup,
                        transform=self.to_SSP, synapse=0.005)
             Connection(cleanup, self.oscillators.input,

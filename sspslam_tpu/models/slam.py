@@ -123,7 +123,8 @@ class SLAMNetwork(Network):
             self.landmark_vec_ssp = Node(size_in=d, label="lm_vecssp_input")
             self.no_landmark_in_view = Node(size_in=1, label="lm_in_view_input")
 
-            self.update_state = Node(update_state_func, size_in=2 * d + 1)
+            self.update_state = Node(update_state_func, size_in=2 * d + 1,
+                                     size_out=d)
             Connection(self.no_landmark_in_view, self.update_state[-1],
                        synapse=None)
 
@@ -157,7 +158,7 @@ class SLAMNetwork(Network):
                            self.landmark_ssp_ens.input_a, synapse=tau)
             elif gc_n_neurons <= 0:
                 self.gridcells = Node(lambda t, x: clean_up_fun(x), size_in=d,
-                                      label="cleanup")
+                                      size_out=d, label="cleanup")
                 Connection(self.pathintegrator.output, self.gridcells,
                            synapse=tau)
                 Connection(self.gridcells, self.landmark_ssp_ens.input_a,
@@ -165,7 +166,7 @@ class SLAMNetwork(Network):
             else:
                 gc_encoders = ssp_space.sample_grid_encoders(gc_n_neurons)
                 self.cleanup = Node(lambda t, x: clean_up_fun(x), size_in=d,
-                                    label="cleanup")
+                                    size_out=d, label="cleanup")
                 self.gridcells = Ensemble(
                     gc_n_neurons, d, encoders=gc_encoders,
                     intercepts=CosineSimilarity(d + 2), label="gridcells")

@@ -68,7 +68,8 @@ class SLAMViewNetwork(Network):
             self.view_input = Node(size_in=d, label="lm_input")
             self.no_landmark_in_view = Node(size_in=1, label="lm_in_view_input")
 
-            self.update_state = Node(update_state_func, size_in=2 * d + 1)
+            self.update_state = Node(update_state_func, size_in=2 * d + 1,
+                                     size_out=d)
             Connection(self.no_landmark_in_view, self.update_state[-1],
                        synapse=None)
 
@@ -100,7 +101,7 @@ class SLAMViewNetwork(Network):
                            self.assomemory.value_input, synapse=tau)
             elif gc_n_neurons <= 0:
                 self.gridcells = Node(lambda t, x: clean_up_fun(x), size_in=d,
-                                      label="cleanup")
+                                      size_out=d, label="cleanup")
                 Connection(self.pathintegrator.output, self.gridcells,
                            synapse=tau)
                 Connection(self.gridcells, self.assomemory.value_input,
@@ -108,7 +109,7 @@ class SLAMViewNetwork(Network):
             else:
                 gc_encoders = ssp_space.sample_grid_encoders(gc_n_neurons)
                 self.cleanup = Node(lambda t, x: clean_up_fun(x), size_in=d,
-                                    label="cleanup")
+                                    size_out=d, label="cleanup")
                 self.gridcells = Ensemble(
                     gc_n_neurons, d, encoders=gc_encoders,
                     intercepts=CosineSimilarity(d + 2), label="gridcells")

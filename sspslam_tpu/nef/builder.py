@@ -143,14 +143,18 @@ class Model:
 
     # -- carry construction -------------------------------------------------
     def initial_state(self):
+        """Host-side zero carry; converted to device arrays on first call
+        (a single batched transfer instead of one per array)."""
         neurons = []
         for be in self.ensembles:
             shape = (be.k, be.n) if be.batched else (be.n,)
-            neurons.append(be.neuron_type.init_state(shape, self.dtype))
-        filters = [jnp.zeros(shape, self.dtype) for shape, _, _ in self.filter_specs]
-        learned = {k: jnp.asarray(v, self.dtype) for k, v in self.learned_init.items()}
+            neurons.append(be.neuron_type.init_state(shape, np.float32))
+        filters = [np.zeros(shape, np.float32)
+                   for shape, _, _ in self.filter_specs]
+        learned = {k: np.asarray(v, np.float32)
+                   for k, v in self.learned_init.items()}
         return {
-            "step": jnp.zeros((), jnp.int32),
+            "step": np.zeros((), np.int32),
             "neurons": neurons,
             "filters": filters,
             "learned": learned,
@@ -265,7 +269,17 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                 if info["kind"] == "tabulated":
                     out = np.asarray(node.output(dt))
                 else:
-                    out = np.asarray(node.output(dt, np.zeros(node.size_in)))
+                    # jnp functions: evaluate on the host backend so a remote
+                    # accelerator isn't hit with an eager compile just to
+                    # learn the output size
+                    try:
+                        cpu = jax.devices("cpu")[0]
+                        with jax.default_device(cpu):
+                            out = np.asarray(
+                                node.output(dt, np.zeros(node.size_in)))
+                    except RuntimeError:
+                        out = np.asarray(
+                            node.output(dt, np.zeros(node.size_in)))
                 node.size_out = int(out.size)
         else:
             info["kind"] = "const"

@@ -24,27 +24,32 @@ __all__ = ["make_step_fn"]
 def make_step_fn(model: Model, dtype=jnp.float32):
     dt = model.dt
 
-    # device-resident constant parameters
+    # Constant parameters stay as host float32 ndarrays: jit embeds them as
+    # compile-time constants in one shot (eager jnp.asarray would round-trip
+    # each array through the device — hundreds of transfers on a remote
+    # backend).
+    import numpy as np
+
     enc_params = []
     for be in model.ensembles:
         enc_params.append({
-            "scaled_encoders": jnp.asarray(be.scaled_encoders, dtype),
-            "bias": jnp.asarray(be.bias, dtype),
-            "gain": jnp.asarray(be.gain, dtype),
+            "scaled_encoders": np.asarray(be.scaled_encoders, np.float32),
+            "bias": np.asarray(be.bias, np.float32),
+            "gain": np.asarray(be.gain, np.float32),
         })
     conn_const: Dict[int, dict] = {}
     for bc in model.connections:
         d = {}
         if bc.weights is not None:
-            d["W"] = jnp.asarray(bc.weights, dtype)
+            d["W"] = np.asarray(bc.weights, np.float32)
         if bc.decoders is not None and bc.learned_slot is None:
-            d["D"] = jnp.asarray(bc.decoders, dtype)
+            d["D"] = np.asarray(bc.decoders, np.float32)
         conn_const[bc.index] = d
     probe_const: Dict[int, dict] = {}
     for bp in model.probes:
         d = {}
         if bp.decoders is not None:
-            d["D"] = jnp.asarray(bp.decoders, dtype)
+            d["D"] = np.asarray(bp.decoders, np.float32)
         probe_const[bp.index] = d
 
     filt_coeffs = [(a, b) for (_shape, a, b) in model.filter_specs]

@@ -24,8 +24,8 @@ def lstsq_l2(activities: np.ndarray, targets: np.ndarray, reg: float = 0.1):
     Y = np.asarray(targets, dtype=np.float32)
     m, n = A.shape
     sigma = reg * A.max() if A.size else reg
-    G = (A.T @ A).astype(np.float64) + m * sigma**2 * np.eye(n)
-    B = (A.T @ Y).astype(np.float64)
+    G = A.T @ A + (m * sigma**2 * np.eye(n)).astype(np.float32)
+    B = A.T @ Y
     return np.linalg.solve(G, B)
 
 
@@ -38,8 +38,8 @@ def lstsq_l2_batched(activities: np.ndarray, targets: np.ndarray,
     k, m, n = A.shape
     if Y.ndim == 2:
         Y = np.broadcast_to(Y, (k,) + Y.shape)
-    sigma = reg * A.max(axis=(1, 2), keepdims=True).astype(np.float64)
+    sigma = reg * A.max(axis=(1, 2), keepdims=True)
     At = np.ascontiguousarray(A.transpose(0, 2, 1))
-    G = (At @ A).astype(np.float64) + m * sigma**2 * np.eye(n)[None, :, :]
-    B = (At @ Y).astype(np.float64)
+    G = At @ A + (m * sigma**2 * np.eye(n)[None, :, :]).astype(np.float32)
+    B = At @ Y
     return np.linalg.solve(G, B)

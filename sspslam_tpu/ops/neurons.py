@@ -39,7 +39,8 @@ class NeuronType:
         """Host NumPy twin of ``rates`` for build-time decoder solving."""
         raise NotImplementedError
 
-    def init_state(self, shape, dtype=jnp.float32) -> Dict[str, jax.Array]:
+    def init_state(self, shape, dtype=np.float32):
+        """Zero state as host arrays (converted on first device call)."""
         return {}
 
     def step(self, state: Dict[str, jax.Array], J: jax.Array, dt: float):
@@ -73,8 +74,8 @@ class SpikingRectifiedLinear(RectifiedLinear):
 
     spiking: bool = True
 
-    def init_state(self, shape, dtype=jnp.float32):
-        return {"voltage": jnp.zeros(shape, dtype)}
+    def init_state(self, shape, dtype=np.float32):
+        return {"voltage": np.zeros(shape, dtype)}
 
     def step(self, state, J, dt):
         v = state["voltage"] + jnp.maximum(J, 0.0) * dt
@@ -130,9 +131,9 @@ class LIF(LIFRate):
     spiking: bool = True
     min_voltage: float = 0.0
 
-    def init_state(self, shape, dtype=jnp.float32):
-        return {"voltage": jnp.zeros(shape, dtype),
-                "refractory": jnp.zeros(shape, dtype)}
+    def init_state(self, shape, dtype=np.float32):
+        return {"voltage": np.zeros(shape, dtype),
+                "refractory": np.zeros(shape, dtype)}
 
     def step(self, state, J, dt):
         voltage = state["voltage"]

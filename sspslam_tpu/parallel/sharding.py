@@ -49,9 +49,12 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def _shard_leading(mesh: Mesh, axis: str, ndim: int, size0: int,
                    min_size: int = 2) -> NamedSharding:
-    """Shard the leading axis over ``axis`` when it is worth it."""
+    """Shard the leading axis over ``axis`` when it is worth it.
+
+    device_put requires divisibility; non-divisible axes stay replicated at
+    rest (GSPMD still partitions the einsums inside jit)."""
     n = mesh.shape[axis]
-    if size0 < max(n, min_size):
+    if size0 < max(n, min_size) or size0 % n != 0:
         return replicated(mesh)
     spec = [axis] + [None] * (ndim - 1)
     return NamedSharding(mesh, P(*spec))
