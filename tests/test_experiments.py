@@ -1,0 +1,83 @@
+"""Smoke tests for the experiment CLI layer (tiny configs, CPU)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_script(name, args, timeout=420):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SSPSLAM_FORCE_CPU"] = "1"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "experiments", name)] + args,
+        capture_output=True, text=True, timeout=timeout, cwd=ROOT, env=env)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return proc.stdout
+
+
+class TestExperimentScripts:
+    def test_run_pathint(self, tmp_path):
+        out = run_script("run_pathint.py", [
+            "--T", "2", "--limit", "1.0", "--pi-n-neurons", "100",
+            "--ssp-dim", "31", "--save", "--save-dir", str(tmp_path),
+            "--backend", "cpu"])
+        assert "final distance error" in out
+        assert any(f.endswith(".npz") for f in os.listdir(tmp_path))
+
+    def test_run_slam(self, tmp_path):
+        out = run_script("run_slam.py", [
+            "--T", "2", "--limit", "1.0", "--pi-n-neurons", "80",
+            "--mem-n-neurons", "100", "--circonv-n-neurons", "20",
+            "--ssp-dim", "31", "--n-landmarks", "4", "--view-rad", "0.6",
+            "--single-obj", "--save", "--save-dir", str(tmp_path),
+            "--backend", "cpu"])
+        assert "final distance error" in out
+
+    def test_run_slamview(self, tmp_path):
+        out = run_script("run_slamview.py", [
+            "--T", "2", "--limit", "1.0", "--pi-n-neurons", "80",
+            "--mem-n-neurons", "100", "--circonv-n-neurons", "20",
+            "--ssp-dim", "31", "--n-landmarks", "4", "--view-rad", "0.6",
+            "--save", "--save-dir", str(tmp_path), "--backend", "cpu"])
+        assert "final distance error" in out
+
+    def test_plot_trials(self, tmp_path):
+        # generate one PI trial then aggregate it
+        run_script("run_pathint.py", [
+            "--T", "2", "--limit", "1.0", "--pi-n-neurons", "80",
+            "--ssp-dim", "31", "--save", "--save-dir", str(tmp_path),
+            "--backend", "cpu"])
+        out = run_script("plot_trials_2d.py", [
+            "--data-dir", str(tmp_path),
+            "--out", str(tmp_path / "trials.png")])
+        assert os.path.exists(tmp_path / "trials.png")
+
+    def test_run_pathint_gif(self, tmp_path):
+        out = run_script("run_pathint_gif.py", [
+            "--T", "1", "--limit", "2.0", "--pi-n-neurons", "60",
+            "--ssp-dim", "19", "--n-frames", "5", "--n-grid", "15",
+            "--out", str(tmp_path / "pi.gif"), "--backend", "cpu"])
+        assert os.path.exists(tmp_path / "pi.gif")
+
+    def test_run_slam_map_gif(self, tmp_path):
+        out = run_script("run_slam_map_gif.py", [
+            "--T", "2", "--limit", "1.0", "--pi-n-neurons", "60",
+            "--mem-n-neurons", "80", "--circonv-n-neurons", "16",
+            "--ssp-dim", "19", "--n-landmarks", "3", "--n-frames", "4",
+            "--n-grid", "12", "--out", str(tmp_path / "map.gif"),
+            "--backend", "cpu"])
+        assert os.path.exists(tmp_path / "map.gif")
+
+    def test_slam_map_new(self, tmp_path):
+        out = run_script("slam_map_new.py", [
+            "--T", "4", "--pi-n-neurons", "60", "--circonv-n-neurons", "16",
+            "--n-scales", "3", "--n-rotates", "3",
+            "--save-dir", str(tmp_path), "--backend", "cpu"], timeout=600)
+        assert "area query sims" in out
+        assert os.path.exists(tmp_path / "slam_map_queries.png")
