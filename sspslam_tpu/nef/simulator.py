@@ -159,6 +159,25 @@ class Simulator:
         for k in self._probe_data:
             self._probe_data[k] = []
 
+    # -- checkpoint / resume -------------------------------------------
+    # The entire simulation state (neuron dynamics, synapse filters, learned
+    # PES decoders and Voja encoders) is the scan carry, so checkpointing is
+    # carry serialisation; resuming continues bitwise-identically.
+    def save_checkpoint(self, path: str):
+        leaves, treedef = jax.tree_util.tree_flatten(self.state)
+        np.savez(path,
+                 n_steps=self.n_steps,
+                 n_leaves=len(leaves),
+                 **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+    def load_checkpoint(self, path: str):
+        _, treedef = jax.tree_util.tree_flatten(self.model.initial_state())
+        with np.load(path) as f:
+            n = int(f["n_leaves"])
+            leaves = [f[f"leaf_{i}"] for i in range(n)]
+            self.n_steps = int(f["n_steps"])
+        self.state = jax.tree_util.tree_unflatten(treedef, leaves)
+
     def __enter__(self):
         return self
 

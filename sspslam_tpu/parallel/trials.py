@@ -1,0 +1,71 @@
+"""Batched multi-episode execution (the data-parallel axis).
+
+The reference's statistical harness is multi-seed trials run one process at
+a time (SURVEY.md §4); here a batch of episodes of the same built model —
+different input streams (paths, landmark encounters) — runs as ONE vmapped
+scan, optionally sharded over a device-mesh 'data' axis.  Each episode
+carries its own neuron/synapse/learned-weight state, so online learning is
+independent per episode.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nef.simulator import Simulator
+
+__all__ = ["run_batched_episodes"]
+
+
+def run_batched_episodes(sim: Simulator, input_tables: List[np.ndarray],
+                         n_steps: int, mesh=None, axis: str = "data"):
+    """Run B episodes in parallel.
+
+    sim : a built Simulator (its current state is the common starting state).
+    input_tables : one (B, n_steps, size) array per tabulated input node, in
+        ``sim.model.input_nodes`` order.
+    mesh : optional Mesh with a ``data`` axis to shard the batch over chips.
+
+    Returns {probe_object: (B, n_steps, ...)} for dense probes, and leaves
+    ``sim`` untouched.
+    """
+    model = sim.model
+    assert len(input_tables) == len(model.input_nodes), (
+        f"expected {len(model.input_nodes)} input tables")
+    B = input_tables[0].shape[0] if input_tables else 1
+    step = sim._step_fn
+
+    def episode(state, xs_cols):
+        return jax.lax.scan(step, state, xs_cols, length=n_steps)
+
+    run = jax.vmap(episode)
+    if mesh is not None:
+        from .sharding import replicated
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sh = NamedSharding(mesh, P(axis))
+        state_sh = jax.tree_util.tree_map(
+            lambda _: batch_sh, sim.model.initial_state())
+        xs_sh = [batch_sh] * len(input_tables)
+        run = jax.jit(run, in_shardings=(state_sh, xs_sh))
+    else:
+        run = jax.jit(run)
+
+    state0 = jax.tree_util.tree_map(
+        lambda x: np.broadcast_to(np.asarray(x), (B,) + np.shape(x)).copy(),
+        sim.state)
+    xs = [jnp.asarray(np.asarray(tab, np.float32)) for tab in input_tables]
+    final_state, emits = run(state0, xs)
+
+    out = {}
+    for bp in model.probes:
+        if bp.sparse:
+            continue
+        v = np.asarray(emits[bp.index])  # (B, n_steps, ...)
+        if bp.period_steps > 1:
+            v = v[:, bp.period_steps - 1::bp.period_steps]
+        out[bp.obj] = v
+    return out, final_state

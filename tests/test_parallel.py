@@ -1,0 +1,101 @@
+"""Multi-device tests on the virtual 8-CPU mesh: model-parallel sharded
+simulation, batched data-parallel episodes, and checkpoint/resume."""
+
+import numpy as np
+import jax
+import pytest
+
+from sspslam_tpu import HexagonalSSPSpace
+from sspslam_tpu.models import PathIntegration
+from sspslam_tpu.nef import (Connection, Ensemble, LIFRate, Network, Node,
+                             Probe, Simulator)
+from sspslam_tpu.parallel import make_mesh, run_batched_episodes
+
+
+def make_pi_net(space, seed=0, n_neurons=80):
+    d = space.ssp_dim
+    ssp0 = space.encode(np.array([[0.1, -0.2]])).flatten()
+    with Network(seed=seed) as net:
+        vel = Node(lambda t: np.array([0.1, 0.0]))
+        init = Node(lambda t: ssp0 if t < 0.05 else np.zeros(d))
+        pi = PathIntegration(space, n_neurons, 0.05, neuron_type=LIFRate())
+        Connection(vel, pi.velocity_input, synapse=None)
+        Connection(init, pi.input, synapse=None)
+        p = Probe(pi.output, synapse=0.05)
+    return net, p
+
+
+@pytest.fixture(scope="module")
+def space():
+    bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
+    return HexagonalSSPSpace(2, ssp_dim=31, seed=0, length_scale=0.3,
+                             domain_bounds=bounds)
+
+
+class TestShardedSim:
+    def test_mesh_sim_matches_single_device(self, space):
+        net, p = make_pi_net(space, seed=0)
+        sim1 = Simulator(net, seed=0)
+        sim1.run(0.1)
+        ref = sim1.data[p]
+
+        net2, p2 = make_pi_net(space, seed=0)
+        mesh = make_mesh(8)
+        sim2 = Simulator(net2, seed=0, mesh=mesh)
+        sim2.run(0.1)
+        got = sim2.data[p2]
+        assert np.allclose(ref, got, atol=5e-4)
+
+
+class TestBatchedEpisodes:
+    def test_three_channels(self):
+        vals = np.array([[0.5], [-0.3], [0.1]])
+        with Network(seed=1) as net:
+            inp = Node(lambda t: np.zeros(1))
+            ens = Ensemble(150, 1, neuron_type=LIFRate(), seed=1)
+            out = Node(size_in=1)
+            Connection(inp, ens, synapse=None)
+            Connection(ens, out, synapse=0.02)
+            p = Probe(out)
+        sim = Simulator(net, seed=1)
+        n_steps = 200
+        tables = [np.tile(vals[:, None, :], (1, n_steps, 1))]
+        res, _ = run_batched_episodes(sim, tables, n_steps)
+        got = res[p][:, -50:].mean(axis=1)
+        assert np.allclose(got, vals, atol=0.06)
+
+    def test_batched_with_data_mesh(self, space):
+        mesh = make_mesh(4, axis_names=("data",))
+        with Network(seed=2) as net:
+            inp = Node(lambda t: np.zeros(1))
+            ens = Ensemble(100, 1, neuron_type=LIFRate(), seed=2)
+            out = Node(size_in=1)
+            Connection(inp, ens, synapse=None)
+            Connection(ens, out, synapse=0.02)
+            p = Probe(out)
+        sim = Simulator(net, seed=2)
+        vals = np.linspace(-0.6, 0.6, 4)[:, None]
+        n_steps = 150
+        tables = [np.tile(vals[:, None, :], (1, n_steps, 1))]
+        res, _ = run_batched_episodes(sim, tables, n_steps, mesh=mesh,
+                                      axis="data")
+        got = res[p][:, -30:].mean(axis=1)[:, 0]
+        assert np.allclose(got, vals[:, 0], atol=0.08)
+
+
+class TestCheckpoint:
+    def test_save_resume_bitexact(self, space, tmp_path):
+        net, p = make_pi_net(space, seed=3)
+        sim = Simulator(net, seed=3)
+        sim.run_steps(100, segment_steps=50)
+        ck = str(tmp_path / "ck.npz")
+        sim.save_checkpoint(ck)
+        sim.run_steps(100, segment_steps=50)
+        full = sim.data[p]
+
+        net2, p2 = make_pi_net(space, seed=3)
+        sim2 = Simulator(net2, seed=3)
+        sim2.load_checkpoint(ck)
+        sim2.run_steps(100, segment_steps=50)
+        resumed = sim2.data[p2]
+        assert np.array_equal(full[100:], resumed)
