@@ -92,6 +92,7 @@ def main():
     ap.add_argument("--cleanup-samples", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--warmup-steps", type=int, default=200)
+    ap.add_argument("--segment-steps", type=int, default=1000)
     ap.add_argument("--timed-steps", type=int, default=5000)
     ap.add_argument("--baseline-steps", type=int, default=15)
     ap.add_argument("--skip-baseline", action="store_true")
@@ -102,18 +103,21 @@ def main():
 
     sim, probe, space, path = build(args)
 
-    # warmup (includes compile)
+    # one fixed scan segment length, compiled once and reused
+    seg = args.segment_steps
     t0 = time.time()
-    sim.run_steps(args.warmup_steps, segment_steps=args.warmup_steps)
-    log(f"compile+warmup ({args.warmup_steps} steps): {time.time() - t0:.1f}s")
+    sim.run_steps(seg, segment_steps=seg)
+    log(f"compile+warmup ({seg} steps): {time.time() - t0:.1f}s")
 
+    n_segs = max(1, args.timed_steps // seg)
     t0 = time.time()
-    sim.run_steps(args.timed_steps, segment_steps=args.timed_steps)
-    # block on results
-    _ = sim.data[probe]
+    for _ in range(n_segs):
+        sim.run_steps(seg, segment_steps=seg)
+    import jax
+    jax.block_until_ready(sim.state)
     elapsed = time.time() - t0
-    steps_per_s = args.timed_steps / elapsed
-    log(f"timed: {args.timed_steps} steps in {elapsed:.2f}s "
+    steps_per_s = n_segs * seg / elapsed
+    log(f"timed: {n_segs * seg} steps in {elapsed:.2f}s "
         f"-> {steps_per_s:.0f} steps/s")
 
     # sanity: tracking quality over what was simulated

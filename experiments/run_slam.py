@@ -128,6 +128,10 @@ def main():
                                      attr="scaled_encoders", sample_every=T)
 
     sim = Simulator(model, seed=args.seed, progress=True)
+    # resource summary (the analog of the reference's Loihi utilization
+    # printout, run_slam.py:212-227)
+    from sspslam_tpu.utils.profiling import print_utilization_summary
+    print_utilization_summary(sim.model)
     if backend == "numpy":
         from experiments.common import run_with_backend
         getter, elapsed_time, elapsed_thread_time = run_with_backend(
