@@ -1,0 +1,117 @@
+"""FastPathIntegrator: the Pallas fused-hot-loop fast path for path
+integration.
+
+Builds a regular :class:`PathIntegration` model through the engine (so
+encoders/decoders/gains come from the exact same solver pipeline), then runs
+the whole VCO-bank dynamics in a single multi-step Pallas kernel with all
+state resident in VMEM (:mod:`sspslam_tpu.ops.pallas_kernels`).  Numerics
+match the generic executor (cross-checked in tests/test_pallas.py); the win
+is wall-clock: one kernel launch per chunk instead of one XLA while-loop
+iteration per dt.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..nef import Connection, Network, Node, Probe, Simulator
+from ..ops import vsa
+from ..ops.neurons import LIF
+from ..ops.pallas_kernels import VCOParams, VCOState, make_vco_scan
+from .pathintegration import PathIntegration
+
+__all__ = ["FastPathIntegrator"]
+
+
+class FastPathIntegrator:
+    def __init__(self, ssp_space, n_neurons, recurrent_tau=0.05,
+                 scaling_factor=1.0, stable=True, max_radius=1.0,
+                 tau_probe=0.05, seed: Optional[int] = 0,
+                 chunk_steps: int = 1000, dt: float = 0.001,
+                 interpret: Optional[bool] = None):
+        self.ssp_space = ssp_space
+        self.dt = dt
+        self.chunk_steps = chunk_steps
+        d = ssp_space.ssp_dim
+        N = ssp_space.domain_dim
+        self.d, self.N = d, N
+        k = (d + 1) // 2
+        self.k, self.n = k, n_neurons
+
+        # build through the engine so parameters are identical to the
+        # generic path
+        with Network(seed=seed) as net:
+            vel = Node(size_in=N, output=None, label="vel_stub")
+            pi = PathIntegration(ssp_space, n_neurons, recurrent_tau,
+                                 scaling_factor=scaling_factor,
+                                 stable=stable, max_radius=max_radius,
+                                 neuron_type=LIF())
+        sim = Simulator(net, dt=dt, seed=seed)
+        model = sim.model
+        be = next(b for b in model.ensembles if b.batched)
+        rec_bc = next(c for c in model.connections
+                      if c.pre_kind == "ea_batch" and c.post_kind == "ea_batch")
+        out_bc = next(c for c in model.connections
+                      if c.pre_kind == "ea_batch" and c.post_kind == "node")
+        a_rec, b_rec = np.exp(-dt / recurrent_tau), 1 - np.exp(-dt / recurrent_tau)
+        a_out, b_out = np.exp(-dt / tau_probe), 1 - np.exp(-dt / tau_probe)
+        nt = be.neuron_type
+
+        f32 = jnp.float32
+        self.params = VCOParams(
+            enc=jnp.asarray(be.scaled_encoders.transpose(2, 0, 1), f32),
+            bias=jnp.asarray(be.bias, f32),
+            dec_rec=jnp.asarray(rec_bc.decoders.transpose(2, 0, 1), f32),
+            dec_out=jnp.asarray(out_bc.decoders.transpose(2, 0, 1), f32),
+            vel_T=jnp.asarray(ssp_space.phase_matrix[:k], f32),
+            to_fourier=jnp.asarray(vsa.to_fourier_matrix(d), f32),
+            to_ssp=jnp.asarray(vsa.from_fourier_matrix(d), f32),
+            a_rec=float(a_rec), b_rec=float(b_rec),
+            a_out=float(a_out), b_out=float(b_out),
+            tau_rc=float(nt.tau_rc), tau_ref=float(nt.tau_ref), dt=float(dt),
+        )
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self._interpret = interpret
+        self._scan_cache = {}
+        self.state = self.initial_state()
+
+    def initial_state(self) -> VCOState:
+        f32 = jnp.float32
+        return VCOState(
+            voltage=jnp.zeros((self.k, self.n), f32),
+            refractory=jnp.zeros((self.k, self.n), f32),
+            filt_rec=jnp.zeros((3, self.k), f32),
+            filt_out=jnp.zeros((self.d,), f32),
+        )
+
+    def _scan_for(self, n_steps):
+        if n_steps not in self._scan_cache:
+            self._scan_cache[n_steps] = make_vco_scan(
+                self.params, n_steps, interpret=self._interpret)
+        return self._scan_cache[n_steps]
+
+    def run(self, velocities: np.ndarray,
+            corrections: Optional[np.ndarray] = None) -> np.ndarray:
+        """Integrate a (T, N) velocity table (optionally with (T, d) SSP
+        corrections, e.g. the initial-state clamp); returns the (T, d)
+        filtered SSP estimate trace."""
+        velocities = np.asarray(velocities, np.float32)
+        T = velocities.shape[0]
+        if corrections is None:
+            corrections = np.zeros((T, self.d), np.float32)
+        outs = []
+        done = 0
+        while done < T:
+            c = min(self.chunk_steps, T - done)
+            scan = self._scan_for(c)
+            self.state, out = scan(self.state,
+                                   jnp.asarray(velocities[done:done + c]),
+                                   jnp.asarray(corrections[done:done + c]))
+            outs.append(np.asarray(out))
+            done += c
+        return np.concatenate(outs, axis=0)

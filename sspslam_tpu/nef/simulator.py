@@ -14,6 +14,7 @@ being materialised every step, and so progress can be reported.
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import Dict, Optional
 
@@ -28,6 +29,23 @@ from .graph import Network, Probe
 __all__ = ["Simulator"]
 
 
+def _enable_compilation_cache():
+    """Persistent compilation cache: scan-step compiles are expensive
+    (minutes on remote-compile TPU backends) but fully cacheable across
+    processes. Best-effort, once."""
+    if getattr(_enable_compilation_cache, "_done", False):
+        return
+    _enable_compilation_cache._done = True
+    try:
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/jax_sspslam"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 class Simulator:
     """``mesh``: an optional ``jax.sharding.Mesh`` — the carry is annotated
     with model-parallel shardings (VCO/neuron axes) and the scan jitted over
@@ -36,6 +54,7 @@ class Simulator:
     def __init__(self, network: Network, dt: float = 0.001,
                  seed: Optional[int] = None, default_neuron_type=None,
                  progress: bool = False, dtype=jnp.float32, mesh=None):
+        _enable_compilation_cache()
         self.dt = float(dt)
         self.progress = progress
         self.model: Model = build(network, dt=dt, seed=seed,
