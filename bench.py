@@ -39,7 +39,7 @@ def build(args):
     space = HexagonalSSPSpace(2, ssp_dim=args.ssp_dim, seed=seed,
                               length_scale=0.3, domain_bounds=bounds)
     d = space.ssp_dim
-    T_data = max(args.timed_steps + args.warmup_steps, 2000) * dt
+    T_data = (args.timed_steps + 2 * args.segment_steps + 2000) * dt
     n_steps = int(T_data / dt)
     ts = dt * np.arange(n_steps)
     path = 0.8 * np.stack([np.sin(2 * np.pi * ts / T_data),
@@ -122,7 +122,8 @@ def main():
 
     # sanity: tracking quality over what was simulated
     out = sim.data[probe]
-    k = out.shape[0]
+    k = min(out.shape[0], path.shape[0])
+    out = out[:k]
     real = space.encode(path[:k])
     sims = np.sum(out * real, axis=1) / np.maximum(
         np.linalg.norm(out, axis=1), 1e-9)

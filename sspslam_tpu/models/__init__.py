@@ -1,7 +1,9 @@
 from .associativememory import AssociativeMemory
 from .binding import CircularConvolution, Product, circconv
+from .fast_pathint import FastPathIntegrator
 from .pathintegration import (PathIntegration, PathIntegrationBCsGCs,
-                              PathIntegrationGC, PathIntegrationReencode,
+                              PathIntegrationGC, PathIntegrationOld,
+                              PathIntegrationReencode,
                               get_from_Fourier, get_to_Fourier)
 from .slam import (SLAMNetwork, get_slam_input_functions,
                    get_slam_input_functions2)
@@ -12,8 +14,9 @@ from .workingmemory import AdditiveInputGatedMemory
 __all__ = [
     "AssociativeMemory",
     "CircularConvolution", "Product", "circconv",
-    "PathIntegration", "PathIntegrationReencode", "PathIntegrationGC",
-    "PathIntegrationBCsGCs", "get_to_Fourier", "get_from_Fourier",
+    "PathIntegration", "PathIntegrationOld", "PathIntegrationReencode",
+    "PathIntegrationGC", "PathIntegrationBCsGCs", "FastPathIntegrator",
+    "get_to_Fourier", "get_from_Fourier",
     "SLAMNetwork", "get_slam_input_functions", "get_slam_input_functions2",
     "SLAMGatedNetwork", "SLAMLoihiNetwork",
     "SLAMViewNetwork", "get_slamview_input_functions",

@@ -33,9 +33,9 @@ from ..nef import (BatchedConnection, Choice, Connection, Ensemble,
 from ..ops import vsa
 from ..utils.sampling import sparsity_to_x_intercept
 
-__all__ = ["PathIntegration", "PathIntegrationReencode", "PathIntegrationGC",
-           "PathIntegrationBCsGCs", "get_to_Fourier", "get_from_Fourier",
-           "vco_feedback"]
+__all__ = ["PathIntegration", "PathIntegrationOld", "PathIntegrationReencode",
+           "PathIntegrationGC", "PathIntegrationBCsGCs", "get_to_Fourier",
+           "get_from_Fourier", "vco_feedback"]
 
 
 def get_to_Fourier(d: int) -> np.ndarray:
@@ -392,3 +392,9 @@ class PathIntegrationBCsGCs(Network):
 
             Connection(self.oscillators.output, self.output,
                        transform=to_SSP, synapse=None)
+
+
+# The reference keeps a verbatim older copy of the network
+# (pathintegration.py:193-356) whose only difference is not retaining the
+# recurrent-connection handles; the modern class covers both.
+PathIntegrationOld = PathIntegration

@@ -3,7 +3,8 @@
 from ..ops.neurons import LIF, LIFRate, RectifiedLinear, SpikingRectifiedLinear
 from ..ops.synapses import Alpha, Lowpass
 from .distributions import (Choice, CosineSimilarity, Distribution,
-                            Exponential, ScatteredHypersphere, Uniform,
+                            Exponential, Rd, ScatteredHypersphere, Sobol,
+                            SSPMixedEval, SSPSobol, Uniform,
                             UniformHypersphere)
 from .graph import (BatchedConnection, Connection, Default, Ensemble,
                     EnsembleArray, LearningRule, Network, Neurons, Node,
@@ -15,7 +16,8 @@ __all__ = [
     "LIF", "LIFRate", "RectifiedLinear", "SpikingRectifiedLinear",
     "Alpha", "Lowpass",
     "Choice", "CosineSimilarity", "Distribution", "Exponential",
-    "ScatteredHypersphere", "Uniform", "UniformHypersphere",
+    "Rd", "ScatteredHypersphere", "Sobol", "SSPMixedEval", "SSPSobol",
+    "Uniform", "UniformHypersphere",
     "BatchedConnection", "Connection", "Default", "Ensemble", "EnsembleArray",
     "LearningRule", "Network", "Neurons", "Node", "ObjView", "PES", "Probe",
     "Voja", "WhiteSignal", "white_signal", "Simulator",

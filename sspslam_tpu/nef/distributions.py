@@ -13,7 +13,7 @@ from ..utils.sampling import scattered_hypersphere, uniform_hypersphere
 
 __all__ = ["Distribution", "Uniform", "UniformHypersphere",
            "ScatteredHypersphere", "Choice", "CosineSimilarity", "Exponential",
-           "sample_dist"]
+           "Sobol", "Rd", "SSPSobol", "SSPMixedEval", "sample_dist"]
 
 
 class Distribution:
@@ -100,6 +100,65 @@ class Exponential(Distribution):
         shape = (n,) if d is None else (n, d)
         x = self.shift + rng.exponential(self.scale, size=shape)
         return np.minimum(x, self.high)
+
+
+class Sobol(Distribution):
+    """Quasi-random Sobol points in [0, 1]^d (scipy.qmc backend)."""
+
+    def sample(self, n, d=1, rng=None):
+        from scipy.stats import qmc
+        seed = None
+        if rng is not None:
+            seed = int(np.random.default_rng(
+                rng.integers(2**31) if hasattr(rng, "integers")
+                else rng.randint(2**31)).integers(2**31))
+        return qmc.Sobol(d=d, seed=seed).random(n)
+
+
+class Rd(Distribution):
+    """Roberts' R_d low-discrepancy sequence in [0, 1]^d."""
+
+    def sample(self, n, d=1, rng=None):
+        from ..utils.sampling import Rd_sampling
+        return Rd_sampling(n, d)
+
+
+class SSPSobol(Distribution):
+    """Evaluation points that are SSP encodings of quasi-random domain
+    points (functional parity with reference sspspace.py:940-963, minus its
+    broken nengolib import)."""
+
+    def __init__(self, ssp_space):
+        self.ssp_space = ssp_space
+
+    def sample(self, n, d=1, rng=None):
+        dd = self.ssp_space.domain_dim
+        if dd == 1:
+            pts = np.linspace(1.0 / n, 1, n)[:, None]
+        else:
+            pts = Sobol().sample(n, dd, rng=rng)
+        if self.ssp_space.domain_bounds is not None:
+            lo = self.ssp_space.domain_bounds[:, 0]
+            hi = self.ssp_space.domain_bounds[:, 1]
+            pts = lo + pts * (hi - lo)
+        return np.asarray(self.ssp_space.encode(pts))
+
+
+class SSPMixedEval(Distribution):
+    """Half SSP-encoded quasi-random points (accuracy on the SSP manifold),
+    half generic hypersphere samples (robustness off it) — parity with
+    reference sspspace.py:966-992."""
+
+    def __init__(self, ssp_space, dist=None):
+        self.ssp_space = ssp_space
+        self.dist = dist or ScatteredHypersphere(surface=False)
+
+    def sample(self, n, d=1, rng=None):
+        n_ssp = n // 2
+        ssps = SSPSobol(self.ssp_space).sample(n_ssp, rng=rng)
+        hypervecs = self.dist.sample(n - n_ssp, self.ssp_space.ssp_dim,
+                                     rng=rng)
+        return np.vstack([ssps, hypervecs])
 
 
 def sample_dist(spec, n, d=None, rng=None):

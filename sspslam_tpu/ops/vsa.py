@@ -46,6 +46,10 @@ __all__ = [
     "binding_output_transform",
     "to_fourier_matrix",
     "from_fourier_matrix",
+    "sub_fourier_extract",
+    "sub_ssp_extract",
+    "sub_fourier_project",
+    "sub_ssp_project",
 ]
 
 
@@ -231,6 +235,59 @@ def conjsym(K: np.ndarray) -> np.ndarray:
     F[1 : m + 1] = K
     F[m + 1 :] = -np.flip(K, axis=0)
     return F
+
+
+# ---------------------------------------------------------------------------
+# Sub-SSP (multi-scale module) extraction / projection matrices
+# ---------------------------------------------------------------------------
+# A multi-scale SSP S_total of dim 2*sublen*N + 1 decomposes into N sub-SSPs,
+# each owning ``sublen`` consecutive positive frequencies (plus the shared DC
+# term and the conjugate-symmetric mirror).  These matrices pick out /
+# reassemble sub-vectors in the Fourier or time domain — functional parity
+# with reference sspspace.py:871-921.
+
+def _sub_freq_selector(n: int, N: int, sublen: int, dc_scale: float):
+    """(2*sublen+1, tot) complex-frequency selection: rows pick module n's
+    positive freqs, the DC term (scaled), and the mirrored negative freqs."""
+    tot = 2 * sublen * N + 1
+    sel = np.zeros((2 * sublen + 1, tot))
+    pos = np.arange(sublen * n, sublen * (n + 1))
+    sel[np.arange(sublen), pos] = 1.0
+    sel[sublen, sublen * N] = dc_scale
+    neg = tot - np.arange(sublen * (n + 1), sublen * n, -1)
+    sel[np.arange(sublen + 1, 2 * sublen + 1), neg] = 1.0
+    return sel
+
+
+def sub_fourier_extract(n: int, N: int, sublen: int = 3) -> np.ndarray:
+    """A-bar_n: F{S_n} = A-bar_n @ F{S_total} (frequency-domain pick-out)."""
+    return _sub_freq_selector(n, N, sublen, dc_scale=1.0)
+
+
+def sub_ssp_extract(n: int, N: int, sublen: int = 3) -> np.ndarray:
+    """A_n: S_n = A_n @ S_total (time-domain pick-out).
+
+    Derived as IDFT_small . ifftshift(A-bar_n) . DFT_big."""
+    tot = 2 * sublen * N + 1
+    FA = np.fft.ifftshift(sub_fourier_extract(n, N, sublen))
+    W = np.fft.fft(np.eye(tot))
+    invW = np.fft.ifft(np.eye(2 * sublen + 1))
+    return np.real(invW @ FA @ W)
+
+
+def sub_fourier_project(n: int, N: int, sublen: int = 3) -> np.ndarray:
+    """B-bar_n: sum_n B-bar_n @ F{S_n} = F{S_total}. The DC row is scaled by
+    1/N so the N sub-vectors' unit DC terms sum back to 1."""
+    return _sub_freq_selector(n, N, sublen, dc_scale=1.0 / N).T
+
+
+def sub_ssp_project(n: int, N: int, sublen: int = 3) -> np.ndarray:
+    """B_n: sum_n B_n @ S_n = S_total (time-domain projection)."""
+    tot = 2 * sublen * N + 1
+    FB = np.fft.ifftshift(sub_fourier_project(n, N, sublen))
+    invW = np.fft.ifft(np.eye(tot))
+    W = np.fft.fft(np.eye(2 * sublen + 1))
+    return np.real(invW @ FB @ W)
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,10 @@ __all__ = [
 ]
 
 conjsym = vsa.conjsym
+_get_sub_FourierSSP = vsa.sub_fourier_extract
+_get_sub_SSP = vsa.sub_ssp_extract
+_proj_sub_FourierSSP = vsa.sub_fourier_project
+_proj_sub_SSP = vsa.sub_ssp_project
 
 
 def _as_np(x):
