@@ -70,6 +70,7 @@ class FastPathIntegrator:
             vel_T=jnp.asarray(ssp_space.phase_matrix[:k], f32),
             to_fourier=jnp.asarray(vsa.to_fourier_matrix(d), f32),
             to_ssp=jnp.asarray(vsa.from_fourier_matrix(d), f32),
+            dc_mask=jnp.zeros((k,), f32).at[0].set(1.0),
             a_rec=float(a_rec), b_rec=float(b_rec),
             a_out=float(a_out), b_out=float(b_out),
             tau_rc=float(nt.tau_rc), tau_ref=float(nt.tau_ref), dt=float(dt),

@@ -486,6 +486,10 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                 bc.learned_slot = slot
                 model.learned_init[slot] = post.scaled_encoders
                 post.voja_conn_index = bc.index
+                if bc.voja_rule.post_synapse is not None:
+                    # filtered post activities drive the encoder drift
+                    bc.pes_act_filt_index = add_filter(
+                        (post.n,), bc.voja_rule.post_synapse)
                 rule_map[id(conn.learning_rule)] = bc
 
         if bc.synapse is not None:

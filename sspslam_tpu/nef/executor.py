@@ -192,9 +192,10 @@ def make_step_fn(model: Model, dtype=jnp.float32):
                     a * filters[bc.filt_index] + b * current_value(bc))
             if bc.pes_act_filt_index is not None:
                 a, b = filt_coeffs[bc.pes_act_filt_index]
+                src = (sig_act[bc.post.index] if bc.voja_rule is not None
+                       else sig_act[bc.pre.index])
                 new_filters[bc.pes_act_filt_index] = (
-                    a * filters[bc.pes_act_filt_index]
-                    + b * sig_act[bc.pre.index])
+                    a * filters[bc.pes_act_filt_index] + b * src)
 
         # ---- learning updates --------------------------------------------
         new_learned = dict(learned)
@@ -218,7 +219,9 @@ def make_step_fn(model: Model, dtype=jnp.float32):
                     gate = gate + conn_output(rc)
                 learning_signal = 1.0 + gate[0]
                 be = bc.post
-                acts = sig_act[be.index]
+                acts = (new_filters[bc.pes_act_filt_index]
+                        if bc.pes_act_filt_index is not None
+                        else sig_act[be.index])
                 pre_v = current_value(bc)
                 scale = enc_params[be.index]["gain"] / be.radius
                 new_learned[bc.learned_slot] = learning_ops.voja_update(

@@ -40,7 +40,8 @@ class VCOParams(NamedTuple):
     vel_T : (k, N) velocity->frequency transform (phase matrix rows)
     to_fourier : (3k, d) SSP -> stacked triples
     to_ssp : (d, 3k) stacked triples -> SSP
-    dc : (3,) DC pin value [1, 0, 0]
+    dc_mask : (k,) one-hot on the DC oscillator (Pallas TPU has no
+        scatter-add; the pin is a masked add)
     a_rec, b_rec : recurrent lowpass coefficients
     a_out, b_out : probe lowpass coefficients
     tau_rc, tau_ref, dt : neuron/time constants
@@ -52,6 +53,7 @@ class VCOParams(NamedTuple):
     vel_T: jax.Array
     to_fourier: jax.Array
     to_ssp: jax.Array
+    dc_mask: jax.Array
     a_rec: float
     b_rec: float
     a_out: float
@@ -85,7 +87,7 @@ def _lif_step(voltage, refractory, J, dt, tau_rc, tau_ref):
 def _chunk_body(consts, k: int, n: int, d: int, n_steps: int,
                 # inputs
                 enc_ref, bias_ref, drec_ref, dout_ref, velT_ref,
-                tof_ref, tos_ref,
+                tof_ref, tos_ref, dcm_ref,
                 vel_ref, inp_ref,
                 volt_ref, refr_ref, frec_ref, fout_ref,
                 # outputs
@@ -99,6 +101,7 @@ def _chunk_body(consts, k: int, n: int, d: int, n_steps: int,
     vel_T = velT_ref[:]
     to_fourier = tof_ref[:]
     to_ssp = tos_ref[:]
+    dc_mask = dcm_ref[:]
 
     def step(i, carry):
         volt, refr, frec, fout = carry
@@ -113,8 +116,8 @@ def _chunk_body(consts, k: int, n: int, d: int, n_steps: int,
         x1 = frec[1] + corr_t[1]
         x2 = frec[2] + corr_t[2] + jnp.dot(vel_T, vel,
                                            preferred_element_type=jnp.float32)
-        # DC oscillator pinned to [1, 0, 0]
-        x0 = x0.at[0].add(1.0)
+        # DC oscillator pinned to [1, 0, 0] (masked add)
+        x0 = x0 + dc_mask
 
         J = (enc[0] * x0[:, None] + enc[1] * x1[:, None]
              + enc[2] * x2[:, None] + bias)
@@ -168,11 +171,11 @@ def make_vco_scan(params: VCOParams, n_steps: int, interpret: bool = False):
         out, volt, refr, frec, fout = pl.pallas_call(
             kernel,
             out_shape=out_shapes,
-            in_specs=[vmem()] * 13,
+            in_specs=[vmem()] * 14,
             out_specs=tuple([vmem()] * 5),
             interpret=interpret,
         )(params.enc, params.bias, params.dec_rec, params.dec_out,
-          params.vel_T, params.to_fourier, params.to_ssp,
+          params.vel_T, params.to_fourier, params.to_ssp, params.dc_mask,
           vel_chunk.astype(jnp.float32), input_chunk.astype(jnp.float32),
           state.voltage, state.refractory, state.filt_rec, state.filt_out)
         return VCOState(volt, refr, frec, fout), out
