@@ -68,8 +68,10 @@ class FastPathIntegrator:
             dec_rec=jnp.asarray(rec_bc.decoders.transpose(2, 0, 1), f32),
             dec_out=jnp.asarray(out_bc.decoders.transpose(2, 0, 1), f32),
             vel_T=jnp.asarray(ssp_space.phase_matrix[:k], f32),
-            to_fourier=jnp.asarray(vsa.to_fourier_matrix(d), f32),
-            to_ssp=jnp.asarray(vsa.from_fourier_matrix(d), f32),
+            tf0=jnp.asarray(vsa.to_fourier_matrix(d)[0::3, :], f32),
+            tf1=jnp.asarray(vsa.to_fourier_matrix(d)[1::3, :], f32),
+            ts0=jnp.asarray(vsa.from_fourier_matrix(d)[:, 0::3], f32),
+            ts1=jnp.asarray(vsa.from_fourier_matrix(d)[:, 1::3], f32),
             dc_mask=jnp.zeros((k,), f32).at[0].set(1.0),
             a_rec=float(a_rec), b_rec=float(b_rec),
             a_out=float(a_out), b_out=float(b_out),

@@ -38,8 +38,11 @@ class VCOParams(NamedTuple):
     dec_rec : (3, k, n) recurrent decoders (element 0 zeroed)
     dec_out : (3, k, n) output (identity) decoders
     vel_T : (k, N) velocity->frequency transform (phase matrix rows)
-    to_fourier : (3k, d) SSP -> stacked triples
-    to_ssp : (d, 3k) stacked triples -> SSP
+    tf0, tf1 : (k, d) SSP -> per-VCO Re/Im components (the component-major
+        split of the to-Fourier map; its frequency rows are zero)
+    ts0, ts1 : (d, k) per-VCO Re/Im components -> SSP (component-major split
+        of the from-Fourier map; frequency columns are zero).  Component-
+        major layout avoids interleaving reshapes Mosaic cannot lower.
     dc_mask : (k,) one-hot on the DC oscillator (Pallas TPU has no
         scatter-add; the pin is a masked add)
     a_rec, b_rec : recurrent lowpass coefficients
@@ -51,8 +54,10 @@ class VCOParams(NamedTuple):
     dec_rec: jax.Array
     dec_out: jax.Array
     vel_T: jax.Array
-    to_fourier: jax.Array
-    to_ssp: jax.Array
+    tf0: jax.Array
+    tf1: jax.Array
+    ts0: jax.Array
+    ts1: jax.Array
     dc_mask: jax.Array
     a_rec: float
     b_rec: float
@@ -71,13 +76,15 @@ class VCOState(NamedTuple):
 
 
 def _lif_step(voltage, refractory, J, dt, tau_rc, tau_ref):
+    # expm1/log1p are unimplemented in the Pallas TPU lowering; the plain
+    # exp/log forms are accurate enough at dt/tau_rc ~ 0.05 in float32.
     refractory = refractory - dt
     delta_t = jnp.clip(dt - refractory, 0.0, dt)
-    voltage = voltage + (J - voltage) * -jnp.expm1(-delta_t / tau_rc)
+    voltage = voltage + (J - voltage) * (1.0 - jnp.exp(-delta_t / tau_rc))
     spiked = voltage > 1.0
     denom = jnp.where(spiked, jnp.maximum(J - 1.0, 1e-12), 1.0)
     overshoot = jnp.clip((voltage - 1.0) / denom, 0.0, 1.0 - 1e-6)
-    t_spike = dt + tau_rc * jnp.log1p(-overshoot)
+    t_spike = dt + tau_rc * jnp.log(1.0 - overshoot)
     out = jnp.where(spiked, 1.0 / dt, 0.0)
     voltage = jnp.where(spiked, 0.0, jnp.maximum(voltage, 0.0))
     refractory = jnp.where(spiked, tau_ref + t_spike, refractory)
@@ -87,7 +94,7 @@ def _lif_step(voltage, refractory, J, dt, tau_rc, tau_ref):
 def _chunk_body(consts, k: int, n: int, d: int, n_steps: int,
                 # inputs
                 enc_ref, bias_ref, drec_ref, dout_ref, velT_ref,
-                tof_ref, tos_ref, dcm_ref,
+                tf0_ref, tf1_ref, ts0_ref, ts1_ref, dcm_ref,
                 vel_ref, inp_ref,
                 volt_ref, refr_ref, frec_ref, fout_ref,
                 # outputs
@@ -99,8 +106,10 @@ def _chunk_body(consts, k: int, n: int, d: int, n_steps: int,
     dec_rec = drec_ref[:]
     dec_out = dout_ref[:]
     vel_T = velT_ref[:]
-    to_fourier = tof_ref[:]
-    to_ssp = tos_ref[:]
+    tf0 = tf0_ref[:]
+    tf1 = tf1_ref[:]
+    ts0 = ts0_ref[:]
+    ts1 = ts1_ref[:]
     dc_mask = dcm_ref[:]
 
     def step(i, carry):
@@ -109,13 +118,9 @@ def _chunk_body(consts, k: int, n: int, d: int, n_steps: int,
         # per-VCO input triple: filtered recurrent + velocity freq + DC pin
         # + external SSP correction through the Fourier map
         corr = inp_ref[i, :]                      # (d,)
-        corr3k = jnp.dot(to_fourier, corr,
-                         preferred_element_type=jnp.float32)  # (3k,)
-        corr_t = corr3k.reshape(k, 3).T           # (3, k)
-        x0 = frec[0] + corr_t[0]
-        x1 = frec[1] + corr_t[1]
-        x2 = frec[2] + corr_t[2] + jnp.dot(vel_T, vel,
-                                           preferred_element_type=jnp.float32)
+        x0 = frec[0] + jnp.dot(tf0, corr, preferred_element_type=jnp.float32)
+        x1 = frec[1] + jnp.dot(tf1, corr, preferred_element_type=jnp.float32)
+        x2 = frec[2] + jnp.dot(vel_T, vel, preferred_element_type=jnp.float32)
         # DC oscillator pinned to [1, 0, 0] (masked add)
         x0 = x0 + dc_mask
 
@@ -130,9 +135,8 @@ def _chunk_body(consts, k: int, n: int, d: int, n_steps: int,
 
         o0 = jnp.sum(act * dec_out[0], axis=1)
         o1 = jnp.sum(act * dec_out[1], axis=1)
-        o2 = jnp.sum(act * dec_out[2], axis=1)
-        flat = jnp.stack([o0, o1, o2], axis=1).reshape(3 * k)
-        ssp = jnp.dot(to_ssp, flat, preferred_element_type=jnp.float32)
+        ssp = (jnp.dot(ts0, o0, preferred_element_type=jnp.float32)
+               + jnp.dot(ts1, o1, preferred_element_type=jnp.float32))
         fout = a_out * fout + b_out * ssp
         out_ref[i, :] = fout
         return volt, refr, frec, fout
@@ -152,7 +156,7 @@ def make_vco_scan(params: VCOParams, n_steps: int, interpret: bool = False):
     vel_chunk : (n_steps, N); input_chunk : (n_steps, d) external SSP
     corrections (zeros when unused)."""
     k, n = params.bias.shape
-    d = params.to_ssp.shape[0]
+    d = params.ts0.shape[0]
 
     consts = (params.a_rec, params.b_rec, params.a_out, params.b_out,
               params.tau_rc, params.tau_ref, params.dt)
@@ -171,11 +175,12 @@ def make_vco_scan(params: VCOParams, n_steps: int, interpret: bool = False):
         out, volt, refr, frec, fout = pl.pallas_call(
             kernel,
             out_shape=out_shapes,
-            in_specs=[vmem()] * 14,
+            in_specs=[vmem()] * 16,
             out_specs=tuple([vmem()] * 5),
             interpret=interpret,
         )(params.enc, params.bias, params.dec_rec, params.dec_out,
-          params.vel_T, params.to_fourier, params.to_ssp, params.dc_mask,
+          params.vel_T, params.tf0, params.tf1, params.ts0, params.ts1,
+          params.dc_mask,
           vel_chunk.astype(jnp.float32), input_chunk.astype(jnp.float32),
           state.voltage, state.refractory, state.filt_rec, state.filt_out)
         return VCOState(volt, refr, frec, fout), out
@@ -190,20 +195,18 @@ def make_vco_scan(params: VCOParams, n_steps: int, interpret: bool = False):
 def vco_reference_step(params: VCOParams, state: VCOState, vel, corr):
     p = params
     k, n = p.bias.shape
-    corr3k = p.to_fourier @ corr
-    corr_t = corr3k.reshape(k, 3).T
-    x0 = state.filt_rec[0] + corr_t[0]
-    x1 = state.filt_rec[1] + corr_t[1]
-    x2 = state.filt_rec[2] + corr_t[2] + p.vel_T @ vel
-    x0 = x0.at[0].add(1.0)
+    x0 = state.filt_rec[0] + p.tf0 @ corr
+    x1 = state.filt_rec[1] + p.tf1 @ corr
+    x2 = state.filt_rec[2] + p.vel_T @ vel
+    x0 = x0 + p.dc_mask
     J = (p.enc[0] * x0[:, None] + p.enc[1] * x1[:, None]
          + p.enc[2] * x2[:, None] + p.bias)
     volt, refr, act = _lif_step(state.voltage, state.refractory, J,
                                 p.dt, p.tau_rc, p.tau_ref)
     cv = jnp.stack([jnp.sum(act * p.dec_rec[i], axis=1) for i in range(3)])
     frec = p.a_rec * state.filt_rec + p.b_rec * cv
-    o = jnp.stack([jnp.sum(act * p.dec_out[i], axis=1) for i in range(3)],
-                  axis=1).reshape(3 * k)
-    ssp = p.to_ssp @ o
+    o0 = jnp.sum(act * p.dec_out[0], axis=1)
+    o1 = jnp.sum(act * p.dec_out[1], axis=1)
+    ssp = p.ts0 @ o0 + p.ts1 @ o1
     fout = p.a_out * state.filt_out + p.b_out * ssp
     return VCOState(volt, refr, frec, fout), fout
