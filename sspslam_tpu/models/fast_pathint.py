@@ -62,17 +62,27 @@ class FastPathIntegrator:
         nt = be.neuron_type
 
         f32 = jnp.float32
+        enc = be.scaled_encoders          # (k, n, 3)
+        drec = rec_bc.decoders            # (k, n, 3)
+        dout = out_bc.decoders            # (k, n, 3)
+        tof = vsa.to_fourier_matrix(d)    # (3k, d)
+        fromf = vsa.from_fourier_matrix(d)  # (d, 3k)
         self.params = VCOParams(
-            enc=jnp.asarray(be.scaled_encoders.transpose(2, 0, 1), f32),
-            bias=jnp.asarray(be.bias, f32),
-            dec_rec=jnp.asarray(rec_bc.decoders.transpose(2, 0, 1), f32),
-            dec_out=jnp.asarray(out_bc.decoders.transpose(2, 0, 1), f32),
-            vel_T=jnp.asarray(ssp_space.phase_matrix[:k], f32),
-            tf0=jnp.asarray(vsa.to_fourier_matrix(d)[0::3, :], f32),
-            tf1=jnp.asarray(vsa.to_fourier_matrix(d)[1::3, :], f32),
-            ts0=jnp.asarray(vsa.from_fourier_matrix(d)[:, 0::3], f32),
-            ts1=jnp.asarray(vsa.from_fourier_matrix(d)[:, 1::3], f32),
-            dc_mask=jnp.zeros((k,), f32).at[0].set(1.0),
+            enc0=jnp.asarray(enc[:, :, 0].T, f32),
+            enc1=jnp.asarray(enc[:, :, 1].T, f32),
+            enc2=jnp.asarray(enc[:, :, 2].T, f32),
+            bias=jnp.asarray(be.bias.T, f32),
+            drec0=jnp.asarray(drec[:, :, 0].T, f32),
+            drec1=jnp.asarray(drec[:, :, 1].T, f32),
+            drec2=jnp.asarray(drec[:, :, 2].T, f32),
+            dout0=jnp.asarray(dout[:, :, 0].T, f32),
+            dout1=jnp.asarray(dout[:, :, 1].T, f32),
+            velT_T=jnp.asarray(ssp_space.phase_matrix[:k].T, f32),
+            tf0T=jnp.asarray(tof[0::3, :].T, f32),
+            tf1T=jnp.asarray(tof[1::3, :].T, f32),
+            ts0T=jnp.asarray(fromf[:, 0::3].T, f32),
+            ts1T=jnp.asarray(fromf[:, 1::3].T, f32),
+            dc_mask=jnp.zeros((1, k), f32).at[0, 0].set(1.0),
             a_rec=float(a_rec), b_rec=float(b_rec),
             a_out=float(a_out), b_out=float(b_out),
             tau_rc=float(nt.tau_rc), tau_ref=float(nt.tau_ref), dt=float(dt),
@@ -86,10 +96,12 @@ class FastPathIntegrator:
     def initial_state(self) -> VCOState:
         f32 = jnp.float32
         return VCOState(
-            voltage=jnp.zeros((self.k, self.n), f32),
-            refractory=jnp.zeros((self.k, self.n), f32),
-            filt_rec=jnp.zeros((3, self.k), f32),
-            filt_out=jnp.zeros((self.d,), f32),
+            voltage=jnp.zeros((self.n, self.k), f32),
+            refractory=jnp.zeros((self.n, self.k), f32),
+            f0=jnp.zeros((1, self.k), f32),
+            f1=jnp.zeros((1, self.k), f32),
+            f2=jnp.zeros((1, self.k), f32),
+            fout=jnp.zeros((1, self.d), f32),
         )
 
     def _scan_for(self, n_steps):

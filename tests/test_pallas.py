@@ -34,9 +34,7 @@ class TestFastPathIntegrator:
         state = fpi.initial_state()
         ref = []
         for t in range(T):
-            state, y = vco_reference_step(fpi.params, state,
-                                          jnp.asarray(vels[t]),
-                                          jnp.asarray(corr[t]))
+            state, y = vco_reference_step(fpi.params, state, vels[t], corr[t])
             ref.append(np.asarray(y))
         ref = np.stack(ref)
         assert np.allclose(out, ref, atol=2e-4), np.abs(out - ref).max()
