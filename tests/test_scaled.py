@@ -99,3 +99,32 @@ class TestGridCellVariants:
         out = sim.data[p]
         assert np.all(np.isfinite(out))
         assert np.linalg.norm(out[-1]) > 0.2
+
+
+class Test1DDomain:
+    def test_1d_spaces_roundtrip(self):
+        from sspslam_tpu import RectangularSSPSpace
+        b = np.array([[-1, 1.0]])
+        for cls in (HexagonalSSPSpace, RectangularSSPSpace):
+            s = cls(1, ssp_dim=41, seed=0, domain_bounds=b, length_scale=0.2)
+            x = np.linspace(-0.8, 0.8, 9)[:, None]
+            dec = s.decode(s.encode(x), num_samples=200)
+            assert np.abs(dec - x).max() < 0.02
+
+    def test_1d_pathint(self):
+        b = 1.1 * np.array([[-1, 1.0]])
+        space = HexagonalSSPSpace(1, ssp_dim=41, seed=0, domain_bounds=b,
+                                  length_scale=0.3)
+        d = space.ssp_dim
+        ssp0 = space.encode(np.array([[0.2]])).flatten()
+        with Network(seed=4) as net:
+            vel = Node(lambda t: np.zeros(1))
+            init = Node(lambda t: ssp0 if t < 0.05 else np.zeros(d))
+            pi = PathIntegration(space, 120, 0.05, neuron_type=LIFRate())
+            Connection(vel, pi.velocity_input, synapse=None)
+            Connection(init, pi.input, synapse=None)
+            p = Probe(pi.output, synapse=0.05)
+        sim = Simulator(net, seed=4)
+        sim.run(0.4)
+        out = sim.data[p][-1]
+        assert (out / np.linalg.norm(out)) @ ssp0 > 0.7
