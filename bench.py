@@ -82,8 +82,65 @@ def build(args):
     return sim, p, space, path
 
 
+def bench_pi(args, fast: bool):
+    """PI-only benchmark (reference run_pathint.py scale): the generic
+    engine or the Pallas fused fast path."""
+    import numpy as np
+    from sspslam_tpu import HexagonalSSPSpace
+
+    bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
+    space = HexagonalSSPSpace(2, ssp_dim=args.ssp_dim, seed=args.seed,
+                              length_scale=0.3, domain_bounds=bounds)
+    seg = args.segment_steps
+    T = args.timed_steps
+    rng = np.random.default_rng(args.seed)
+    vels = (0.02 * rng.normal(size=(T + seg, 2))).astype(np.float32)
+
+    if fast:
+        from sspslam_tpu.models import FastPathIntegrator
+        fpi = FastPathIntegrator(space, args.pi_n_neurons, seed=args.seed,
+                                 chunk_steps=seg, interpret=False)
+        t0 = time.time()
+        fpi.run(vels[:seg])
+        log(f"compile+warmup: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        out = fpi.run(vels[seg:])
+        sps = T / (time.time() - t0)
+        label = "PathIntegration Pallas fused kernel"
+    else:
+        from sspslam_tpu.models import PathIntegration
+        from sspslam_tpu.nef import (Connection, Network, Node, Probe,
+                                     Simulator)
+        d = space.ssp_dim
+        with Network(seed=args.seed) as net:
+            vel = Node(lambda t: vels[min(int(round((t - 0.001) / 0.001)),
+                                          len(vels) - 1)])
+            pi = PathIntegration(space, args.pi_n_neurons, 0.05)
+            Connection(vel, pi.velocity_input, synapse=None)
+            p = Probe(pi.output, synapse=0.05)
+        sim = Simulator(net, seed=args.seed)
+        t0 = time.time()
+        sim.run_steps(seg, segment_steps=seg)
+        log(f"compile+warmup: {time.time() - t0:.1f}s")
+        n_segs = max(1, T // seg)
+        t0 = time.time()
+        for _ in range(n_segs):
+            sim.run_steps(seg, segment_steps=seg)
+        import jax
+        jax.block_until_ready(sim.state)
+        sps = n_segs * seg / (time.time() - t0)
+        label = "PathIntegration generic engine"
+    log(f"{label}: {sps:.0f} steps/s")
+    print(json.dumps({
+        "metric": f"{label} sim-steps/s/chip at dt=1ms "
+                  f"(ssp_dim={space.ssp_dim}, {args.pi_n_neurons} LIF/VCO)",
+        "value": round(sps, 1), "unit": "steps/s", "vs_baseline": None}))
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["slam", "pi", "pi-fast"],
+                    default="slam")
     ap.add_argument("--ssp-dim", type=int, default=97)
     ap.add_argument("--pi-n-neurons", type=int, default=800)
     ap.add_argument("--mem-n-neurons", type=int, default=970)
@@ -100,6 +157,10 @@ def main():
 
     import jax
     log(f"devices: {jax.devices()}")
+
+    if args.model in ("pi", "pi-fast"):
+        bench_pi(args, fast=args.model == "pi-fast")
+        return
 
     sim, probe, space, path = build(args)
 
