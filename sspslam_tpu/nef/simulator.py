@@ -115,14 +115,24 @@ class Simulator:
     def run(self, t_sim: float, segment_steps: Optional[int] = None):
         self.run_steps(int(round(t_sim / self.dt)), segment_steps=segment_steps)
 
+    #: default upper bound on the compiled scan length — scan compile time
+    #: grows with length, while the compiled segment is reused across calls
+    #: (and across processes via the persistent compilation cache)
+    DEFAULT_SEGMENT_STEPS = 1000
+
     def run_steps(self, n_steps: int, segment_steps: Optional[int] = None):
         model = self.model
         sparse = [bp for bp in model.probes if bp.sparse]
         if segment_steps is None:
             if sparse:
                 segment_steps = math.gcd(*[bp.period_steps for bp in sparse])
+                # keep sparse periods intact but split huge segments into
+                # bounded chunks when the period allows it
+                while (segment_steps > 2 * self.DEFAULT_SEGMENT_STEPS
+                       and segment_steps % 2 == 0):
+                    segment_steps //= 2
             else:
-                segment_steps = n_steps
+                segment_steps = self.DEFAULT_SEGMENT_STEPS
             segment_steps = min(segment_steps, n_steps)
         inputs = self._tabulate_inputs(n_steps)
 
