@@ -21,13 +21,11 @@ from .builder import BuiltConnection, BuiltProbe, Model
 __all__ = ["make_step_fn"]
 
 
-def make_step_fn(model: Model, dtype=jnp.float32):
-    dt = model.dt
-
-    # Constant parameters stay as host float32 ndarrays: jit embeds them as
-    # compile-time constants in one shot (eager jnp.asarray would round-trip
-    # each array through the device — hundreds of transfers on a remote
-    # backend).
+def build_params(model: Model):
+    """Parameter pytree passed to the step as a traced argument (NOT
+    embedded as jit constants) so the persistent compilation cache hits
+    across different seeds/data of the same model shape.  Host float32
+    ndarrays; they become device-resident on the first jitted call."""
     import numpy as np
 
     enc_params = []
@@ -37,21 +35,26 @@ def make_step_fn(model: Model, dtype=jnp.float32):
             "bias": np.asarray(be.bias, np.float32),
             "gain": np.asarray(be.gain, np.float32),
         })
-    conn_const: Dict[int, dict] = {}
+    conn_const = {}
     for bc in model.connections:
         d = {}
         if bc.weights is not None:
             d["W"] = np.asarray(bc.weights, np.float32)
         if bc.decoders is not None and bc.learned_slot is None:
             d["D"] = np.asarray(bc.decoders, np.float32)
-        conn_const[bc.index] = d
-    probe_const: Dict[int, dict] = {}
+        conn_const[str(bc.index)] = d
+    probe_const = {}
     for bp in model.probes:
         d = {}
         if bp.decoders is not None:
             d["D"] = np.asarray(bp.decoders, np.float32)
-        probe_const[bp.index] = d
+        probe_const[str(bp.index)] = d
+    return {"ens": enc_params, "conn": conn_const, "probe": probe_const}
 
+
+def make_step_fn(model: Model, dtype=jnp.float32):
+    """Returns ``step(state, xs, params) -> (state, emits)``."""
+    dt = model.dt
     filt_coeffs = [(a, b) for (_shape, a, b) in model.filter_specs]
 
     # incoming connections per unit
@@ -69,7 +72,10 @@ def make_step_fn(model: Model, dtype=jnp.float32):
 
     input_index = {id(n): i for i, n in enumerate(model.input_nodes)}
 
-    def step(state, xs):
+    def step(state, xs, params):
+        enc_params = params["ens"]
+        conn_const = params["conn"]
+        probe_const = params["probe"]
         step_no = state["step"]
         t = (step_no.astype(dtype) + 1.0) * dt
         filters = state["filters"]
@@ -81,7 +87,7 @@ def make_step_fn(model: Model, dtype=jnp.float32):
         def decoders_of(bc):
             if bc.learned_slot is not None:
                 return learned[bc.learned_slot]
-            return conn_const[bc.index]["D"]
+            return conn_const[str(bc.index)]["D"]
 
         def pre_value(bc: BuiltConnection):
             if bc.pre_kind == "node":
@@ -107,7 +113,7 @@ def make_step_fn(model: Model, dtype=jnp.float32):
             if bc.pre_kind == "ea_batch" and bc.post_kind == "node":
                 v = v.reshape(-1)
             if bc.weights is not None:
-                W = conn_const[bc.index]["W"]
+                W = conn_const[str(bc.index)]["W"]
                 if W.ndim == 3:  # batched input transforms (k, dim, s)
                     v = jnp.einsum("kds,s->kd", W, v)
                 else:
@@ -234,12 +240,12 @@ def make_step_fn(model: Model, dtype=jnp.float32):
             if bp.kind == "node":
                 v = sig_node[id(bp.target)]
             elif bp.kind == "ens_decoded":
-                v = sig_act[bp.target.index] @ probe_const[bp.index]["D"]
+                v = sig_act[bp.target.index] @ probe_const[str(bp.index)]["D"]
             elif bp.kind == "activities":
                 v = sig_act[bp.target.index]
             elif bp.kind == "weights":
                 D = (new_learned[bp.target.learned_slot]
-                     if bp.target.learned_slot else conn_const[bp.target.index]["D"])
+                     if bp.target.learned_slot else conn_const[str(bp.target.index)]["D"])
                 v = D.T if D.ndim == 2 else D
             elif bp.kind == "scaled_encoders":
                 v = new_learned[bp.target.learned_slot]

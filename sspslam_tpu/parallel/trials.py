@@ -38,9 +38,12 @@ def run_batched_episodes(sim: Simulator, input_tables: List[np.ndarray],
         f"expected {len(model.input_nodes)} input tables")
     B = input_tables[0].shape[0] if input_tables else 1
     step = sim._step_fn
+    params = sim.params
 
     def episode(state, xs_cols):
-        return jax.lax.scan(step, state, xs_cols, length=n_steps)
+        def body(carry, xs):
+            return step(carry, xs, params)
+        return jax.lax.scan(body, state, xs_cols, length=n_steps)
 
     run = jax.vmap(episode)
     if mesh is not None:
