@@ -160,7 +160,10 @@ class Simulator:
                         self._sparse_steps[bp.index].append(
                             self.n_steps + done + seg)
                 else:
-                    self._probe_data[bp.index].append(np.asarray(emits[bp.index]))
+                    # keep the device buffer; conversion happens lazily in
+                    # probe_data() so segments pipeline without a blocking
+                    # device->host transfer each
+                    self._probe_data[bp.index].append(emits[bp.index])
             done += seg
             if self.progress:
                 el = time.time() - t_start
@@ -186,7 +189,7 @@ class Simulator:
         chunks = self._probe_data[bp.index]
         if not chunks:
             return np.zeros((0,) + bp.shape)
-        full = np.concatenate(chunks, axis=0)
+        full = np.concatenate([np.asarray(c) for c in chunks], axis=0)
         if not bp.sparse and bp.period_steps > 1:
             full = full[bp.period_steps - 1::bp.period_steps]
         return full

@@ -25,7 +25,7 @@ def cross_check(net, T=0.2, seed=0, atol=1e-3):
     for bp in sim.model.probes:
         if bp.sparse:
             continue
-        jit_v = np.concatenate(sim._probe_data[bp.index], axis=0)
+        jit_v = np.concatenate([np.asarray(c) for c in sim._probe_data[bp.index]], axis=0)
         ref_v = ref_out[bp.index]
         err = np.max(np.abs(jit_v - ref_v))
         scale = max(np.max(np.abs(ref_v)), 1.0)
