@@ -170,15 +170,15 @@ def main():
     sim.run_steps(seg, segment_steps=seg)
     log(f"compile+warmup ({seg} steps): {time.time() - t0:.1f}s")
 
-    n_segs = max(1, args.timed_steps // seg)
+    n_timed = max(seg, args.timed_steps // seg * seg)
     t0 = time.time()
-    for _ in range(n_segs):
-        sim.run_steps(seg, segment_steps=seg)
+    sim.run_steps(n_timed, segment_steps=seg)
     import jax
     jax.block_until_ready(sim.state)
     elapsed = time.time() - t0
-    steps_per_s = n_segs * seg / elapsed
-    log(f"timed: {n_segs * seg} steps in {elapsed:.2f}s "
+    steps_per_s = n_timed / elapsed
+    n_segs = n_timed // seg
+    log(f"timed: {n_timed} steps in {elapsed:.2f}s "
         f"-> {steps_per_s:.0f} steps/s")
 
     # sanity: tracking quality over what was simulated
