@@ -78,7 +78,12 @@ class Simulator:
 
     # ------------------------------------------------------------------
     def _tabulate_inputs(self, n_steps: int) -> list:
-        """Evaluate f(t)-only nodes for every step on the host, once."""
+        """Evaluate f(t)-only nodes for every step on the host, once.
+
+        Returns host ndarrays: segment slicing happens on the host (free)
+        and the jitted call transfers each slice (sub-ms) — eagerly slicing
+        device arrays would trigger a fresh eager-op compile per distinct
+        offset on remote-compile backends."""
         cols = []
         for node in self.model.input_nodes:
             f = node.output
@@ -87,7 +92,7 @@ class Simulator:
             for i in range(n_steps):
                 vals[i] = np.asarray(f(t0 + (i + 1) * self.dt),
                                      dtype=np.float32).reshape(-1)
-            cols.append(jnp.asarray(vals))
+            cols.append(vals)
         return cols
 
     def _get_scan(self, seg_len: int):
