@@ -62,7 +62,9 @@ class Simulator:
         self.model: Model = build(network, dt=dt, seed=seed,
                                   default_neuron_type=default_neuron_type)
         self._step_fn = make_step_fn(self.model, dtype=dtype)
-        self.params = build_params(self.model)
+        # device-resident once: passing host arrays would re-transfer the
+        # whole parameter set on every segment call
+        self.params = jax.device_put(build_params(self.model))
         self._scan_cache: Dict[int, callable] = {}
         self.mesh = mesh
         self.state = self.model.initial_state()
