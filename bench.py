@@ -74,7 +74,7 @@ def build(args):
         p = Probe(slam.pathintegrator.output, synapse=0.05)
 
     t0 = time.time()
-    sim = Simulator(net, seed=seed)
+    sim = Simulator(net, seed=seed, scan_unroll=args.scan_unroll)
     log(f"build: {time.time() - t0:.1f}s")
     n_neurons = sum((be.k * be.n if be.batched else be.n)
                     for be in sim.model.ensembles)
@@ -122,13 +122,12 @@ def bench_pi(args, fast: bool):
         t0 = time.time()
         sim.run_steps(seg, segment_steps=seg)
         log(f"compile+warmup: {time.time() - t0:.1f}s")
-        n_segs = max(1, T // seg)
+        n_timed = max(seg, T // seg * seg)
         t0 = time.time()
-        for _ in range(n_segs):
-            sim.run_steps(seg, segment_steps=seg)
+        sim.run_steps(n_timed, segment_steps=seg)
         import jax
         jax.block_until_ready(sim.state)
-        sps = n_segs * seg / (time.time() - t0)
+        sps = n_timed / (time.time() - t0)
         label = "PathIntegration generic engine"
     log(f"{label}: {sps:.0f} steps/s")
     print(json.dumps({
@@ -152,6 +151,7 @@ def main():
     ap.add_argument("--segment-steps", type=int, default=1000)
     ap.add_argument("--timed-steps", type=int, default=5000)
     ap.add_argument("--baseline-steps", type=int, default=15)
+    ap.add_argument("--scan-unroll", type=int, default=8)
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
