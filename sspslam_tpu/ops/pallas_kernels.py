@@ -145,8 +145,8 @@ def _chunk_body(consts, n_steps: int, *refs):
 
     carry = ((f0_ref[:], f1_ref[:], f2_ref[:]), volt_ref[:], refr_ref[:],
              fout_ref[:])
-    (f0, f1, f2), volt, refr, fout = jax.lax.fori_loop(0, n_steps, step,
-                                                       carry)
+    (f0, f1, f2), volt, refr, fout = jax.lax.fori_loop(
+        0, n_steps, step, carry, unroll=8)
     volt_o[:] = volt
     refr_o[:] = refr
     f0_o[:] = f0
