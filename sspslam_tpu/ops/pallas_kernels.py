@@ -145,8 +145,10 @@ def _chunk_body(consts, n_steps: int, *refs):
 
     carry = ((f0_ref[:], f1_ref[:], f2_ref[:]), volt_ref[:], refr_ref[:],
              fout_ref[:])
-    (f0, f1, f2), volt, refr, fout = jax.lax.fori_loop(
-        0, n_steps, step, carry, unroll=8)
+    # Pallas TPU fori_loop only lowers unroll=1 (or full unrolling, which
+    # explodes compile time at n_steps=1000); keep the rolled loop.
+    (f0, f1, f2), volt, refr, fout = jax.lax.fori_loop(0, n_steps, step,
+                                                       carry)
     volt_o[:] = volt
     refr_o[:] = refr
     f0_o[:] = f0
