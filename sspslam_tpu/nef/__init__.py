@@ -1,6 +1,7 @@
 """NEF-on-JAX engine: declarative graph -> jitted lax.scan simulation."""
 
-from ..ops.neurons import LIF, LIFRate, RectifiedLinear, SpikingRectifiedLinear
+from ..ops.neurons import (LIF, LIFRate, QuantizedLIF,
+                           RectifiedLinear, SpikingRectifiedLinear)
 from ..ops.synapses import Alpha, Lowpass
 from .distributions import (Choice, CosineSimilarity, Distribution,
                             Exponential, Rd, ScatteredHypersphere, Sobol,
@@ -13,7 +14,8 @@ from .processes import WhiteSignal, white_signal
 from .simulator import Simulator
 
 __all__ = [
-    "LIF", "LIFRate", "RectifiedLinear", "SpikingRectifiedLinear",
+    "LIF", "LIFRate", "QuantizedLIF", "RectifiedLinear",
+    "SpikingRectifiedLinear",
     "Alpha", "Lowpass",
     "Choice", "CosineSimilarity", "Distribution", "Exponential",
     "Rd", "ScatteredHypersphere", "Sobol", "SSPMixedEval", "SSPSobol",

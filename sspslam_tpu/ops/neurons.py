@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["NeuronType", "LIF", "LIFRate", "RectifiedLinear",
-           "SpikingRectifiedLinear"]
+           "SpikingRectifiedLinear", "QuantizedLIF"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -151,3 +151,22 @@ class LIF(LIFRate):
         voltage = jnp.where(spiked, 0.0, jnp.maximum(voltage, self.min_voltage))
         refractory = jnp.where(spiked, self.tau_ref + t_spike, refractory)
         return {"voltage": voltage, "refractory": refractory}, out
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizedLIF(LIF):
+    """LIF with voltage/current quantisation, the execution-config analogue
+    of neuromorphic-hardware neurons (the reference's Loihi deployments run
+    LoihiLIF with fixed-point state; here quantisation emulates that
+    discretisation while staying a pure jnp state update).
+
+    ``levels``: number of representable voltage levels in [0, 1].
+    """
+
+    levels: int = 256
+
+    def step(self, state, J, dt):
+        q = float(self.levels)
+        state, out = LIF.step(self, state, J, dt)
+        v = jnp.round(state["voltage"] * q) / q
+        return {"voltage": v, "refractory": state["refractory"]}, out

@@ -41,6 +41,7 @@ __all__ = [
     "similarity",
     "cleanup_from_set",
     "conjsym",
+    "construct_axes_from_phases",
     "dft_half_matrices",
     "binding_input_transforms",
     "binding_output_transform",
@@ -224,6 +225,20 @@ def cleanup_from_set(sample_ssps: jax.Array, v: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 # Phase-matrix construction helper
 # ---------------------------------------------------------------------------
+
+def construct_axes_from_phases(K: np.ndarray, even: bool = False) -> np.ndarray:
+    """Build unit-magnitude axis vectors from an (m, n) free-phase matrix:
+    each column's conjugate-symmetric spectrum exp(i*phases) is inverse-
+    transformed to a real (2m+1[+1], n) axis bank (reference
+    sspspace.py:851-858)."""
+    K = np.atleast_2d(np.asarray(K, dtype=np.float64))
+    m, n = K.shape
+    d = 2 * m + 1 + (1 if even else 0)
+    F = np.ones((d, n), dtype=complex)
+    F[1:m + 1] = np.exp(1j * K)
+    F[d - m:] = np.conj(np.exp(1j * K))[::-1]
+    return np.fft.ifft(F, axis=0).real
+
 
 def conjsym(K: np.ndarray) -> np.ndarray:
     """Expand (m, n) free phases into a (2m+1, n) conjugate-symmetric phase

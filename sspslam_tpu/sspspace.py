@@ -38,6 +38,7 @@ __all__ = [
 ]
 
 conjsym = vsa.conjsym
+_constructaxisfromphases = vsa.construct_axes_from_phases
 _get_sub_FourierSSP = vsa.sub_fourier_extract
 _get_sub_SSP = vsa.sub_ssp_extract
 _proj_sub_FourierSSP = vsa.sub_fourier_project
