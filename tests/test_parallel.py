@@ -99,3 +99,35 @@ class TestCheckpoint:
         sim2.run_steps(100, segment_steps=50)
         resumed = sim2.data[p2]
         assert np.array_equal(full[100:], resumed)
+
+
+class TestShardMapVCO:
+    def test_sharded_pi_matches_reference(self, space):
+        """Explicit shard_map TP over the oscillator axis: identical output
+        to the unsharded reference step (one psum per step)."""
+        import jax.numpy as jnp
+        from sspslam_tpu.models.fast_pathint import FastPathIntegrator
+        from sspslam_tpu.ops.pallas_kernels import vco_reference_step
+        from sspslam_tpu.parallel.shard_step import make_sharded_vco_scan
+
+        fpi = FastPathIntegrator(space, 40, seed=0, interpret=True)
+        T = 30
+        rng = np.random.default_rng(0)
+        vels = (0.03 * rng.normal(size=(T, 2))).astype(np.float32)
+        corr = np.zeros((T, space.ssp_dim), np.float32)
+        corr[0] = space.encode(np.array([[0.1, -0.1]])).flatten()
+
+        mesh = make_mesh(8)
+        run = make_sharded_vco_scan(fpi.params, mesh, T)
+        state = run.initial_state()
+        _, out = run(state, vels, corr)
+        out = np.asarray(out)
+
+        ref_state = fpi.initial_state()
+        ref = []
+        for t in range(T):
+            ref_state, y = vco_reference_step(fpi.params, ref_state,
+                                              vels[t], corr[t])
+            ref.append(np.asarray(y))
+        ref = np.stack(ref)
+        assert np.allclose(out, ref, atol=2e-4), np.abs(out - ref).max()
