@@ -124,11 +124,16 @@ def make_sharded_vco_scan(params: VCOParams, mesh: Mesh, n_steps: int,
         volt, refr, f0, f1, f2, fout = carry
         return VCOState(volt, refr, f0, f1, f2, fout), outs[:, 0, :]
 
-    sharded = shard_map(
-        local_chunk, mesh=mesh,
-        in_specs=(array_specs, state_specs, rep, rep),
-        out_specs=(state_specs, P(None, None)),
-        check_rep=False)
+    try:  # jax.shard_map (new API) dropped check_rep
+        sharded = shard_map(
+            local_chunk, mesh=mesh,
+            in_specs=(array_specs, state_specs, rep, rep),
+            out_specs=(state_specs, P(None, None)))
+    except TypeError:  # pragma: no cover - legacy API
+        sharded = shard_map(
+            local_chunk, mesh=mesh,
+            in_specs=(array_specs, state_specs, rep, rep),
+            out_specs=(state_specs, P(None, None)), check_rep=False)
 
     dev_params = tuple(
         jax.device_put(jnp.asarray(getattr(params, f), jnp.float32),
