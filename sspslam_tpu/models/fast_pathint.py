@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nef import Connection, Network, Node, Probe, Simulator
+from ..nef import Network, Node, Simulator
 from ..ops import vsa
 from ..ops.neurons import LIF
 from ..ops.pallas_kernels import VCOParams, VCOState, make_vco_scan

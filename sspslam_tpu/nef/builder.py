@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops import learning as learning_ops
 from ..ops import synapses as synapse_ops
 from ..ops.neurons import LIF, NeuronType
 from .distributions import sample_dist, UniformHypersphere

@@ -19,12 +19,12 @@ Differences from nengo, chosen for the TPU compilation model:
 from __future__ import annotations
 
 import threading
-from typing import Any, Callable, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import numpy as np
 
 from ..ops.neurons import LIF, NeuronType
-from .distributions import Distribution, Uniform, UniformHypersphere
+from .distributions import Uniform, UniformHypersphere
 
 __all__ = [
     "Network", "Ensemble", "Node", "Connection", "BatchedConnection",

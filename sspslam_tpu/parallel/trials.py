@@ -10,7 +10,7 @@ independent per episode.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ from __future__ import annotations
 import contextlib
 from typing import List
 
-import numpy as np
-
 __all__ = ["model_utilization_summary", "print_utilization_summary",
            "trace_run"]
 
