@@ -152,6 +152,7 @@ def main():
     ap.add_argument("--timed-steps", type=int, default=5000)
     ap.add_argument("--baseline-steps", type=int, default=15)
     ap.add_argument("--scan-unroll", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -170,16 +171,19 @@ def main():
     sim.run_steps(seg, segment_steps=seg)
     log(f"compile+warmup ({seg} steps): {time.time() - t0:.1f}s")
 
-    n_timed = max(seg, args.timed_steps // seg * seg)
-    t0 = time.time()
-    sim.run_steps(n_timed, segment_steps=seg)
     import jax
-    jax.block_until_ready(sim.state)
-    elapsed = time.time() - t0
-    steps_per_s = n_timed / elapsed
-    n_segs = n_timed // seg
-    log(f"timed: {n_timed} steps in {elapsed:.2f}s "
-        f"-> {steps_per_s:.0f} steps/s")
+    n_timed = max(seg, args.timed_steps // seg * seg)
+    rates = []
+    for rep in range(args.reps):
+        t0 = time.time()
+        sim.run_steps(n_timed, segment_steps=seg)
+        jax.block_until_ready(sim.state)
+        elapsed = time.time() - t0
+        rates.append(n_timed / elapsed)
+        log(f"timed rep {rep}: {n_timed} steps in {elapsed:.2f}s "
+            f"-> {rates[-1]:.0f} steps/s")
+    # median of repetitions: throughput on the shared TPU tunnel is noisy
+    steps_per_s = float(np.median(rates))
 
     # sanity: tracking quality over what was simulated
     out = sim.data[probe]
