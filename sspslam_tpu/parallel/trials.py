@@ -22,7 +22,8 @@ __all__ = ["run_batched_episodes"]
 
 
 def run_batched_episodes(sim: Simulator, input_tables: List[np.ndarray],
-                         n_steps: int, mesh=None, axis: str = "data"):
+                         n_steps: int, mesh=None, axis: str = "data",
+                         unroll: int = 4):
     """Run B episodes in parallel.
 
     sim : a built Simulator (its current state is the common starting state).
@@ -43,7 +44,8 @@ def run_batched_episodes(sim: Simulator, input_tables: List[np.ndarray],
     def episode(state, xs_cols):
         def body(carry, xs):
             return step(carry, xs, params)
-        return jax.lax.scan(body, state, xs_cols, length=n_steps)
+        return jax.lax.scan(body, state, xs_cols, length=n_steps,
+                            unroll=max(1, min(unroll, n_steps)))
 
     run = jax.vmap(episode)
     if mesh is not None:
