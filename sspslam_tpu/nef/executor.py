@@ -21,6 +21,17 @@ from .builder import BuiltConnection, BuiltProbe, Model
 __all__ = ["make_step_fn"]
 
 
+def _contig(idx):
+    """(start, stop) if idx is a contiguous ascending range, else None.
+    Static slices lower to cheap dynamic-update-slices (and vmap well),
+    unlike integer-array scatter/gather."""
+    import numpy as np
+    idx = np.asarray(idx)
+    if idx.size and np.array_equal(idx, np.arange(idx[0], idx[0] + idx.size)):
+        return int(idx[0]), int(idx[0] + idx.size)
+    return None
+
+
 def build_params(model: Model):
     """Parameter pytree passed to the step as a traced argument (NOT
     embedded as jit constants) so the persistent compilation cache hits
@@ -93,7 +104,9 @@ def make_step_fn(model: Model, dtype=jnp.float32):
             if bc.pre_kind == "node":
                 v = sig_node[id(bc.pre)]
                 if bc.pre_indices is not None:
-                    v = v[jnp.asarray(bc.pre_indices)]
+                    rng = _contig(bc.pre_indices)
+                    v = (v[rng[0]:rng[1]] if rng
+                         else v[jnp.asarray(bc.pre_indices)])
                 return v
             act = sig_act[bc.pre.index]
             if bc.pre_kind in ("ens", "ens_view"):
@@ -132,7 +145,11 @@ def make_step_fn(model: Model, dtype=jnp.float32):
             for bc in node_in.get(id(node), []):
                 v = conn_output(bc)
                 if bc.post_indices is not None:
-                    x = x.at[jnp.asarray(bc.post_indices)].add(v)
+                    rng = _contig(bc.post_indices)
+                    if rng:
+                        x = x.at[rng[0]:rng[1]].add(v)
+                    else:
+                        x = x.at[jnp.asarray(bc.post_indices)].add(v)
                 else:
                     x = x + v
             return x
@@ -146,13 +163,22 @@ def make_step_fn(model: Model, dtype=jnp.float32):
                     x = x + v.reshape(shape)
                 elif bc.post_kind == "ea_elem":
                     if bc.post_indices is not None:
-                        x = x.at[bc.post_elem_index,
-                                 jnp.asarray(bc.post_indices)].add(v)
+                        rng = _contig(bc.post_indices)
+                        if rng:
+                            x = x.at[bc.post_elem_index,
+                                     rng[0]:rng[1]].add(v)
+                        else:
+                            x = x.at[bc.post_elem_index,
+                                     jnp.asarray(bc.post_indices)].add(v)
                     else:
                         x = x.at[bc.post_elem_index].add(v)
                 else:  # ens
                     if bc.post_indices is not None:
-                        x = x.at[jnp.asarray(bc.post_indices)].add(v)
+                        rng = _contig(bc.post_indices)
+                        if rng:
+                            x = x.at[rng[0]:rng[1]].add(v)
+                        else:
+                            x = x.at[jnp.asarray(bc.post_indices)].add(v)
                     else:
                         x = x + v
             return x
