@@ -6,6 +6,13 @@ different input streams (paths, landmark encounters) — runs as ONE vmapped
 scan, optionally sharded over a device-mesh 'data' axis.  Each episode
 carries its own neuron/synapse/learned-weight state, so online learning is
 independent per episode.
+
+Known status (round 1): numerically verified on the CPU mesh; on the single
+remote TPU chip the vmapped step currently lowers with poor per-iteration
+efficiency relative to the single-episode path (aggregate throughput below
+1x single) — per-episode sequential runs are faster there until the batched
+lowering is tuned.  Multi-chip deployments shard the batch axis over
+devices, where each shard runs at single-episode cost.
 """
 
 from __future__ import annotations
