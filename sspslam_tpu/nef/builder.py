@@ -32,7 +32,8 @@ from .distributions import sample_dist, UniformHypersphere
 from .graph import (BatchedConnection, Connection, EAElement, Ensemble,
                     EnsembleArray, LearningRule, Network, Neurons, Node,
                     ObjView, PES, Probe, Voja)
-from .solvers import lstsq_l2, lstsq_l2_batched
+from .solvers import (DEVICE_SOLVE_MIN_NEURONS, lstsq_l2,
+                      lstsq_l2_batched, solve_decoders_on_device)
 
 __all__ = ["Model", "build"]
 
@@ -435,6 +436,11 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                      for x in ep])
         if pre_indices is not None:
             targets = targets[:, pre_indices]
+        if not be.batched and be.n >= DEVICE_SOLVE_MIN_NEURONS:
+            # large single ensembles: run the whole solve on the accelerator
+            return solve_decoders_on_device(
+                be.neuron_type, be.scaled_encoders, be.bias, be.eval_points,
+                targets, reg=reg)
         acts = be.activities_at_eval()
         if be.batched:
             return lstsq_l2_batched(acts, targets, reg=reg)  # (k, n, d)

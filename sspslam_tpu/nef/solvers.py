@@ -11,7 +11,41 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["lstsq_l2", "lstsq_l2_batched"]
+__all__ = ["lstsq_l2", "lstsq_l2_batched", "solve_decoders_on_device"]
+
+#: ensembles with at least this many neurons route their decoder solve
+#: through the accelerator (J/rates/normal-equations/Cholesky on device);
+#: below it, host BLAS wins (no transfer, f64 factorisation)
+DEVICE_SOLVE_MIN_NEURONS = 2048
+
+
+def solve_decoders_on_device(neuron_type, scaled_encoders, bias, eval_points,
+                             targets, reg: float = 0.1) -> np.ndarray:
+    """Full decoder-solve pipeline on the accelerator for LARGE ensembles:
+    currents, rate curves, the (n, n) normal equations and the Cholesky
+    factorisation all run on device in float32 (the reference's accelerated
+    backend solves in f32 as well); only encoders up / decoders down cross
+    the host boundary.  Unlocks the BASELINE scaled sweep (1e4-neuron
+    ensembles) on a single-core host."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _solve(E, b, ep, Y):
+        A = neuron_type.rates(ep @ E.T + b[None, :])          # (m, n)
+        m = A.shape[0]
+        sigma = reg * jnp.max(A)
+        G = A.T @ A + m * sigma**2 * jnp.eye(A.shape[1], dtype=A.dtype)
+        B = A.T @ Y
+        L = jnp.linalg.cholesky(G)
+        z = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+
+    out = _solve(jnp.asarray(scaled_encoders, jnp.float32),
+                 jnp.asarray(bias, jnp.float32),
+                 jnp.asarray(eval_points, jnp.float32),
+                 jnp.asarray(targets, jnp.float32))
+    return np.asarray(out, dtype=np.float64)
 
 
 def lstsq_l2(activities: np.ndarray, targets: np.ndarray, reg: float = 0.1):

@@ -331,3 +331,49 @@ class TestProbesAndDeterminism:
         sp = sim.data[spikes]
         assert sp.shape == (500, 300)
         assert np.all((sp == 0) | (sp == 1000.0))
+
+
+class TestDeviceSolve:
+    def test_device_solve_matches_host(self):
+        """Large-ensemble decoder solve on device agrees with the host
+        normal-equation solve."""
+        import numpy as np
+        from sspslam_tpu.nef.builder import build
+        from sspslam_tpu.nef.solvers import (lstsq_l2,
+                                             solve_decoders_on_device)
+        from sspslam_tpu.ops.neurons import LIFRate
+
+        rng = np.random.default_rng(0)
+        n, d, m = 400, 4, 900
+        nt = LIFRate()
+        enc = rng.normal(size=(n, d)); enc /= np.linalg.norm(enc, axis=1,
+                                                             keepdims=True)
+        gain, bias = nt.gain_bias(rng.uniform(200, 400, n),
+                                  rng.uniform(-0.9, 0.8, n))
+        scaled = enc * gain[:, None]
+        ep = rng.uniform(-1, 1, size=(m, d))
+        targets = ep.copy()
+        acts = nt.rates_np(ep @ scaled.T + bias[None, :])
+        host = lstsq_l2(acts, targets)
+        dev = solve_decoders_on_device(nt, scaled, bias, ep, targets)
+        # identical math modulo f32 factorisation
+        assert np.allclose(host, dev, atol=2e-4), np.abs(host - dev).max()
+        # both decode the identity acceptably
+        err = np.linalg.norm(acts @ dev - targets) / np.linalg.norm(targets)
+        assert err < 0.1
+
+    def test_large_ensemble_builds_via_device_path(self):
+        from sspslam_tpu.nef import (Connection, Ensemble, LIFRate, Network,
+                                     Node, Probe, Simulator)
+        import numpy as np
+        with Network(seed=0) as net:
+            inp = Node(lambda t: np.array([0.4, -0.2]))
+            ens = Ensemble(2200, 2, neuron_type=LIFRate(), seed=0)
+            out = Node(size_in=2)
+            Connection(inp, ens, synapse=None)
+            Connection(ens, out, synapse=0.02)
+            p = Probe(out)
+        sim = Simulator(net, seed=0)
+        sim.run(0.2)
+        assert np.allclose(sim.data[p][-30:].mean(axis=0), [0.4, -0.2],
+                           atol=0.05)
