@@ -81,3 +81,48 @@ def run_batched_episodes(sim: Simulator, input_tables: List[np.ndarray],
             v = v[:, bp.period_steps - 1::bp.period_steps]
         out[bp.obj] = v
     return out, final_state
+
+
+def run_seed_sweep(sims, n_steps: int, segment_steps: int = 1000):
+    """Multi-seed trial sweep on one device: run each built Simulator's
+    episode SEQUENTIALLY through a single compiled program.
+
+    All sims must share the same network structure (different seeds/params/
+    inputs are fine — parameters are traced arguments, so the jitted scan
+    from the first sim is reused for every other with zero recompilation).
+    On this class of models the single-episode path is overhead-bound, so a
+    sequential sweep on one chip outperforms the vmapped batch; across
+    chips, shard episodes one-per-device instead.
+
+    Returns a list of {probe_object: (n_steps, ...)} per sim.
+    """
+    lead = sims[0]
+    results = []
+    for sim in sims:
+        run_segment = lead._get_scan(min(segment_steps, n_steps))
+        inputs = sim._tabulate_inputs(n_steps)
+        done = 0
+        emits_chunks = {bp.index: [] for bp in sim.model.probes
+                        if not bp.sparse}
+        state = sim.state
+        while done < n_steps:
+            seg = min(segment_steps, n_steps - done)
+            if seg != segment_steps:
+                run_segment = lead._get_scan(seg)
+            xs = [col[done:done + seg] for col in inputs]
+            state, emits = run_segment(state, xs, sim.params)
+            for k in emits_chunks:
+                emits_chunks[k].append(emits[k])
+            done += seg
+        sim.state = state
+        sim.n_steps += n_steps
+        out = {}
+        for bp in sim.model.probes:
+            if bp.sparse:
+                continue
+            v = np.concatenate([np.asarray(c) for c in emits_chunks[bp.index]])
+            if bp.period_steps > 1:
+                v = v[bp.period_steps - 1::bp.period_steps]
+            out[bp.obj] = v
+        results.append(out)
+    return results

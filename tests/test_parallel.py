@@ -131,3 +131,28 @@ class TestShardMapVCO:
             ref.append(np.asarray(y))
         ref = np.stack(ref)
         assert np.allclose(out, ref, atol=2e-4), np.abs(out - ref).max()
+
+
+class TestSeedSweep:
+    def test_sequential_sweep_shares_compilation(self, space):
+        """Three seeds, one compiled program: results match per-sim runs."""
+        from sspslam_tpu.parallel import run_seed_sweep
+
+        sims, probes = [], []
+        for seed in (0, 1, 2):
+            net, p = make_pi_net(space, seed=seed)
+            sims.append(Simulator(net, seed=seed))
+            probes.append(p)
+        results = run_seed_sweep(sims, 80, segment_steps=40)
+        # independent single runs for comparison
+        for seed, p in zip((0, 1, 2), probes):
+            net2, p2 = make_pi_net(space, seed=seed)
+            solo = Simulator(net2, seed=seed)
+            solo.run_steps(80, segment_steps=40)
+            want = solo.data[p2]
+            got = results[seed][p]
+            assert np.allclose(got, want, atol=1e-5), \
+                np.abs(got - want).max()
+        # different seeds genuinely differ
+        assert not np.allclose(results[0][probes[0]], results[1][probes[1]],
+                               atol=1e-3)
