@@ -134,26 +134,21 @@ def _chunk_body(consts, n_steps: int, *refs):
                 drec1_r[:], drec2_r[:], dout0_r[:], dout1_r[:], velTT_r[:],
                 tf0T_r[:], tf1T_r[:], ts0T_r[:], ts1T_r[:], dcm_r[:])
 
-    UNROLL = 4 if n_steps % 4 == 0 else 1
-
-    def step(j, carry):
+    def step(i, carry):
         frec, volt, refr, fout = carry
-        base = j * UNROLL
-        # Mosaic only lowers rolled fori_loops (no unroll kwarg), so the
-        # per-dt work is manually inlined UNROLL times per iteration
-        for u in range(UNROLL):
-            i = base + u
-            vel_row = vel_ref[pl.ds(i, 1), :]     # (1, N)
-            corr_row = inp_ref[pl.ds(i, 1), :]    # (1, d)
-            frec, volt, refr, fout = _vco_step(p_arrays, consts, frec, volt,
-                                               refr, fout, vel_row, corr_row)
-            out_ref[pl.ds(i, 1), :] = fout
+        vel_row = vel_ref[pl.ds(i, 1), :]     # (1, N)
+        corr_row = inp_ref[pl.ds(i, 1), :]    # (1, d)
+        frec, volt, refr, fout = _vco_step(p_arrays, consts, frec, volt,
+                                           refr, fout, vel_row, corr_row)
+        out_ref[pl.ds(i, 1), :] = fout
         return frec, volt, refr, fout
 
     carry = ((f0_ref[:], f1_ref[:], f2_ref[:]), volt_ref[:], refr_ref[:],
              fout_ref[:])
-    (f0, f1, f2), volt, refr, fout = jax.lax.fori_loop(
-        0, n_steps // UNROLL, step, carry)
+    # Pallas TPU fori_loop only lowers unroll=1 (or full unrolling, which
+    # explodes compile time at n_steps=1000); keep the rolled loop.
+    (f0, f1, f2), volt, refr, fout = jax.lax.fori_loop(0, n_steps, step,
+                                                       carry)
     volt_o[:] = volt
     refr_o[:] = refr
     f0_o[:] = f0
