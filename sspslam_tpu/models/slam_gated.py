@@ -36,7 +36,8 @@ class SLAMGatedNetwork(Network):
                  update_thres=0.2, vel_scaling_factor=1.0,
                  rad_scaling_factor=1, shift_rate=0.1,
                  pes_learning_rate=1e-2, encoders=None,
-                 pi_solver_weights=False, seed=0, label="slamgated"):
+                 pi_solver_weights=False, seed=0, label="slamgated",
+                 gate_semantics="loihi"):
         super().__init__(label=label, seed=seed)
 
         d = ssp_space.ssp_dim
@@ -123,10 +124,20 @@ class SLAMGatedNetwork(Network):
             Connection(self.correction, self.pathintegrator.input,
                        synapse=0.1, transform=shift_rate)
 
-            # neural gate: threshold population fed a neural dot product
+            # neural gate: threshold population fed a neural dot product.
+            # The threshold represents (1 + no_view - dot(est, PI)) and
+            # inhibits the correction when it exceeds its intercept:
+            #  * 'loihi' (faithful to the reference wiring,
+            #    slam_loihi.py:268-274): intercept = update_thres, so
+            #    corrections only engage when dot > 1 - update_thres — a far
+            #    stricter gate than SLAMNetwork's.
+            #  * 'matched': intercept = 1 - update_thres, reproducing
+            #    SLAMNetwork's engage-when-dot > update_thres semantics.
+            gate_intercept = (update_thres if gate_semantics == "loihi"
+                              else 1.0 - update_thres)
             bias = Node(1.0, label="threshold_bias")
             self.threshold = Ensemble(
-                circonv_n_neurons, 1, intercepts=Choice([update_thres]),
+                circonv_n_neurons, 1, intercepts=Choice([gate_intercept]),
                 encoders=np.ones((circonv_n_neurons, 1)), label="threshold")
             Connection(bias, self.threshold, synapse=None)
             Connection(self.no_landmark_in_view, self.threshold, synapse=None)
