@@ -139,7 +139,8 @@ class PathIntegration(Network):
             mask[0] = 0.0
             self.recurrent = BatchedConnection(
                 self.oscillators, self.oscillators, function=feedback,
-                synapse=recurrent_tau, element_mask=mask)
+                synapse=recurrent_tau, element_mask=mask,
+                solver_weights=solver_weights)
 
             # DC term held at [1, 0, 0]
             zerofreq = Node([1.0, 0.0, 0.0], label=f"{label}_zerofreq")
@@ -278,7 +279,8 @@ class PathIntegrationGC(Network):
                               transforms=vel_W, synapse=recurrent_tau)
             self.recurrent = BatchedConnection(
                 self.oscillators, self.oscillators, function=feedback,
-                synapse=recurrent_tau, element_mask=mask)
+                synapse=recurrent_tau, element_mask=mask,
+                solver_weights=solver_weights)
 
             zerofreq = Node([0, 0, 0, 0, 0, 0, 1.0, 0, 0],
                             label=f"{label}_zerofreq")

@@ -108,6 +108,11 @@ class BuiltConnection:
     voja_rule: Optional[Voja] = None
     pes_act_filt_index: Optional[int] = None
     rule_target_conns: List[int] = dataclasses.field(default_factory=list)
+    # solver_weights=True lowering: ``weights`` holds the FULL neuron->neuron
+    # matrix ((n_post, n_pre) or batched (k, n_post, n_pre)) applied directly
+    # to pre activities and injected as post input current (matching nengo's
+    # ``LstsqL2(weights=True)``, reference pathintegration.py:180-185).
+    full_weights: bool = False
 
 
 @dataclasses.dataclass
@@ -479,6 +484,31 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                     nshape = (bc.pre.n,) if not bc.pre.batched else (bc.pre.k, bc.pre.n)
                     bc.pes_act_filt_index = add_filter(nshape, bc.pes_rule.pre_synapse)
                 rule_map[id(conn.learning_rule)] = bc
+            if getattr(conn, "solver_weights", False):
+                # Full-weight solve (nengo LstsqL2(weights=True) equivalent,
+                # reference pathintegration.py:180-185): fold transform and
+                # post encoders into one neuron->neuron matrix; the decoded
+                # signal never exists at run time.
+                assert sk == "ens" and not post.batched, \
+                    "solver_weights=True requires a single-Ensemble post"
+                assert conn.learning_rule_type is None, \
+                    "solver_weights=True is incompatible with learning rules"
+                assert post.voja_conn_index is None, \
+                    "solver_weights=True post cannot have Voja-learned encoders"
+                assert sidx is None and bc.pre_indices is None
+                D = np.asarray(bc.decoders, np.float64)          # (n_pre, d)
+                if bc.weights is not None:
+                    D = D @ np.asarray(bc.weights, np.float64).T  # -> post dim
+                elif bc.scalar_weight != 1.0:
+                    D = D * bc.scalar_weight
+                Wfull = np.asarray(post.scaled_encoders, np.float64) @ D.T
+                bc.weights = Wfull                               # (n_post, n_pre)
+                bc.scalar_weight = 1.0
+                bc.decoders = None
+                bc.full_weights = True
+                bc.pre_kind = "neurons"
+                bc.post_kind = "neurons"
+                psize = post.n  # filtered signal is post input current
         elif pk == "node":
             if conn.function is not None:
                 bc.jnp_function = conn.function
@@ -497,6 +527,10 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                         (post.n,), bc.voja_rule.post_synapse)
                 rule_map[id(conn.learning_rule)] = bc
 
+        if getattr(conn, "solver_weights", False) and not bc.full_weights:
+            raise NotImplementedError(
+                "solver_weights=True requires an Ensemble pre and a "
+                f"single-Ensemble post (got {bc.pre_kind} -> {bc.post_kind})")
         if bc.synapse is not None:
             bc.filt_shape = (psize,)
             bc.filt_index = add_filter(bc.filt_shape, bc.synapse)
@@ -517,7 +551,20 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             dec = solve_decoders(bpre, conn.function, conn.solver_reg)  # (k,n,d)
             if conn.element_mask is not None:
                 dec = dec * np.asarray(conn.element_mask)[:, None, None]
-            bc.decoders = dec
+            if getattr(conn, "solver_weights", False):
+                # batched full-weight solve: per element, fold post encoders
+                # into an (n_post, n_pre) matrix; one big batched matmul per
+                # step instead of decode+encode (reference
+                # pathintegration.py:180-185 with weights=True).
+                bc.weights = np.einsum(
+                    "knd,kmd->knm",
+                    np.asarray(bpost.scaled_encoders, np.float64),
+                    np.asarray(dec, np.float64))
+                bc.full_weights = True
+                bc.pre_kind = "ea_neurons"
+                bc.post_kind = "neurons"
+            else:
+                bc.decoders = dec
         else:
             pk, pre, pidx, pelem = resolve_pre(conn.pre)
             assert pk == "node", "batched input connections take a node pre"
@@ -529,7 +576,8 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             bc.weights = W
         bc.synapse = conn.synapse
         if bc.synapse is not None:
-            bc.filt_shape = (bpost.k, bpost.dim)
+            bc.filt_shape = ((bpost.k, bpost.n) if bc.full_weights
+                             else (bpost.k, bpost.dim))
             bc.filt_index = add_filter(bc.filt_shape, bc.synapse)
         return bc
 

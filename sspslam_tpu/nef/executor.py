@@ -117,6 +117,8 @@ def make_step_fn(model: Model, dtype=jnp.float32):
                 return jnp.einsum("kn,knd->kd", act, decoders_of(bc))
             if bc.pre_kind == "neurons":
                 return act.reshape(-1)
+            if bc.pre_kind == "ea_neurons":
+                return act              # (k, n) raw activities
             raise TypeError(bc.pre_kind)
 
         def current_value(bc: BuiltConnection):
@@ -127,7 +129,10 @@ def make_step_fn(model: Model, dtype=jnp.float32):
                 v = v.reshape(-1)
             if bc.weights is not None:
                 W = conn_const[str(bc.index)]["W"]
-                if W.ndim == 3:  # batched input transforms (k, dim, s)
+                if bc.full_weights:  # neuron->neuron currents (solver_weights)
+                    v = (jnp.einsum("knm,km->kn", W, v) if W.ndim == 3
+                         else W @ v)
+                elif W.ndim == 3:  # batched input transforms (k, dim, s)
                     v = jnp.einsum("kds,s->kd", W, v)
                 else:
                     v = W @ v

@@ -299,6 +299,7 @@ class Connection:
     def __init__(self, pre, post, transform=1.0, function: Callable = None,
                  synapse=0.005, learning_rule_type=None,
                  eval_points=None, solver_reg: float = 0.1,
+                 solver_weights: bool = False,
                  label: Optional[str] = None):
         self.pre = pre
         self.post = post
@@ -308,6 +309,7 @@ class Connection:
         self.learning_rule_type = learning_rule_type
         self.eval_points = eval_points
         self.solver_reg = solver_reg
+        self.solver_weights = solver_weights
         self.label = label
         self.learning_rule = (LearningRule(self, learning_rule_type)
                               if learning_rule_type is not None else None)
@@ -331,6 +333,7 @@ class BatchedConnection:
 
     def __init__(self, pre, post, transforms=None, function=None,
                  synapse=0.005, element_mask=None, solver_reg: float = 0.1,
+                 solver_weights: bool = False,
                  label: Optional[str] = None):
         self.pre = pre
         self.post = post
@@ -339,6 +342,7 @@ class BatchedConnection:
         self.synapse = synapse
         self.element_mask = element_mask
         self.solver_reg = solver_reg
+        self.solver_weights = solver_weights
         self.label = label
         self.learning_rule = None
         _register(self)

@@ -146,6 +146,8 @@ class NumpyStepper:
                 return np.einsum("kn,knd->kd", act, decoders_of(bc))
             if bc.pre_kind == "neurons":
                 return act.reshape(-1)
+            if bc.pre_kind == "ea_neurons":
+                return act              # (k, n) raw activities
             raise TypeError(bc.pre_kind)
 
         def current_value(bc):
@@ -155,8 +157,11 @@ class NumpyStepper:
             if bc.pre_kind == "ea_batch" and bc.post_kind == "node":
                 v = v.reshape(-1)
             if bc.weights is not None:
-                W = bc.weights
-                if W.ndim == 3:
+                W = bc.weights.astype(np.float32)
+                if bc.full_weights:  # neuron->neuron currents (solver_weights)
+                    v = (np.einsum("knm,km->kn", W, v) if W.ndim == 3
+                         else W @ v)
+                elif W.ndim == 3:
                     v = np.einsum("kds,s->kd", W, v)
                 else:
                     v = W @ v
