@@ -141,6 +141,9 @@ class Model:
         self.probes: List[BuiltProbe] = []
         self.node_info: Dict[int, dict] = {}   # id(node) -> info
         self.filter_specs: List[Tuple[Tuple[int, ...], float, float]] = []
+        # two-stage (Alpha) synapses: output filter slot -> hidden first-stage
+        # slot; executors chain the two one-pole updates per step
+        self.filter_cascade: Dict[int, int] = {}
         self.topo_units: List[Tuple[str, Any]] = []
         self.learned_init: Dict[str, np.ndarray] = {}
         self.input_nodes: List[Node] = []      # tabulated nodes, in order
@@ -308,10 +311,14 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
 
     def add_filter(shape, synapse) -> int:
         a, b, stages = synapse_ops.coefficients(synapse, dt)
-        if stages != 1:
-            raise NotImplementedError("Alpha synapse not yet supported in builder")
         filter_specs.append((tuple(shape), a, b))
-        return len(filter_specs) - 1
+        idx = len(filter_specs) - 1
+        if stages == 2:  # Alpha: cascade of two identical one-pole stages
+            filter_specs.append((tuple(shape), a, b))
+            out = len(filter_specs) - 1
+            model.filter_cascade[out] = idx
+            return out
+        return idx
 
     def resolve_pre(pre):
         """-> (kind, resolved, indices, elem_index)"""

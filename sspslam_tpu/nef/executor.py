@@ -67,6 +67,7 @@ def make_step_fn(model: Model, dtype=jnp.float32):
     """Returns ``step(state, xs, params) -> (state, emits)``."""
     dt = model.dt
     filt_coeffs = [(a, b) for (_shape, a, b) in model.filter_specs]
+    cascade = model.filter_cascade  # Alpha synapses: out slot -> hidden slot
 
     # incoming connections per unit
     node_in: Dict[int, list] = {}
@@ -222,17 +223,23 @@ def make_step_fn(model: Model, dtype=jnp.float32):
 
         # ---- filter updates ----------------------------------------------
         new_filters = list(filters)
+
+        def update_filter(fi, u):
+            a, b = filt_coeffs[fi]
+            if fi in cascade:  # Alpha: first stage feeds the output stage
+                h = cascade[fi]
+                ah, bh = filt_coeffs[h]
+                u = ah * filters[h] + bh * u
+                new_filters[h] = u
+            new_filters[fi] = a * filters[fi] + b * u
+
         for bc in model.connections:
             if bc.filt_index is not None:
-                a, b = filt_coeffs[bc.filt_index]
-                new_filters[bc.filt_index] = (
-                    a * filters[bc.filt_index] + b * current_value(bc))
+                update_filter(bc.filt_index, current_value(bc))
             if bc.pes_act_filt_index is not None:
-                a, b = filt_coeffs[bc.pes_act_filt_index]
                 src = (sig_act[bc.post.index] if bc.voja_rule is not None
                        else sig_act[bc.pre.index])
-                new_filters[bc.pes_act_filt_index] = (
-                    a * filters[bc.pes_act_filt_index] + b * src)
+                update_filter(bc.pes_act_filt_index, src)
 
         # ---- learning updates --------------------------------------------
         new_learned = dict(learned)
@@ -284,6 +291,11 @@ def make_step_fn(model: Model, dtype=jnp.float32):
                 raise TypeError(bp.kind)
             if bp.filt_index is not None:
                 a, b = filt_coeffs[bp.filt_index]
+                if bp.filt_index in cascade:
+                    h = cascade[bp.filt_index]
+                    ah, bh = filt_coeffs[h]
+                    v = ah * new_filters[h] + bh * v
+                    new_filters[h] = v
                 v = a * new_filters[bp.filt_index] + b * v
                 new_filters[bp.filt_index] = v
             if not bp.sparse:

@@ -44,6 +44,11 @@ def _neuron_step_np(nt, state, J, dt):
     kind = type(nt).__name__
     if kind == "LIF":
         return _lif_step_np(nt, state, J, dt)
+    if kind == "QuantizedLIF":
+        st, out = _lif_step_np(nt, state, J, dt)
+        q = float(nt.levels)
+        st["voltage"] = np.round(st["voltage"] * q) / q
+        return st, out
     if kind in ("LIFRate", "RectifiedLinear"):
         return state, nt.rates_np(J)
     if kind == "SpikingRectifiedLinear":
@@ -81,7 +86,7 @@ class NumpyStepper:
             nt = be.neuron_type
             if nt.spiking:
                 st = {"voltage": np.zeros(shape, np.float32)}
-                if type(nt).__name__ == "LIF":
+                if type(nt).__name__ in ("LIF", "QuantizedLIF"):
                     st["refractory"] = np.zeros(shape, np.float32)
                 neurons.append(st)
             else:
@@ -93,6 +98,13 @@ class NumpyStepper:
             "learned": {k: np.array(v, np.float32)
                         for k, v in m.learned_init.items()},
         }
+
+    def sparse_probe(self, bp):
+        """Read a sparse (weights / scaled_encoders) probe from the current
+        interpreter state — same semantics as the compiled path's
+        segment-boundary reads."""
+        from .executor import sparse_probe_value
+        return sparse_probe_value(self.model, self.state, bp)
 
     # ------------------------------------------------------------------
     def run_steps(self, n_steps: int, input_tables):
@@ -230,16 +242,24 @@ class NumpyStepper:
                 sig_act[be.index] = out
 
         new_filters = list(filters)
+        cascade = m.filter_cascade
+
+        def update_filter(fi, u):
+            a, b = self._filt_coeffs[fi]
+            if fi in cascade:  # Alpha: first stage feeds the output stage
+                h = cascade[fi]
+                ah, bh = self._filt_coeffs[h]
+                u = ah * filters[h] + bh * u
+                new_filters[h] = u
+            new_filters[fi] = a * filters[fi] + b * u
+
         for bc in m.connections:
             if bc.filt_index is not None:
-                a, b = self._filt_coeffs[bc.filt_index]
-                new_filters[bc.filt_index] = (
-                    a * filters[bc.filt_index] + b * current_value(bc))
+                update_filter(bc.filt_index, current_value(bc))
             if bc.pes_act_filt_index is not None:
-                a, b = self._filt_coeffs[bc.pes_act_filt_index]
-                new_filters[bc.pes_act_filt_index] = (
-                    a * filters[bc.pes_act_filt_index]
-                    + b * sig_act[bc.pre.index])
+                src = (sig_act[bc.post.index] if bc.voja_rule is not None
+                       else sig_act[bc.pre.index])
+                update_filter(bc.pes_act_filt_index, src)
 
         for bc in m.connections:
             if bc.pes_rule is not None:
@@ -258,7 +278,9 @@ class NumpyStepper:
                     gate = gate + conn_output(m.connections[rci])
                 ls = 1.0 + np.asarray(gate).reshape(-1)[0]
                 be = bc.post
-                acts = sig_act[be.index]
+                acts = (new_filters[bc.pes_act_filt_index]
+                        if bc.pes_act_filt_index is not None
+                        else sig_act[be.index])
                 pre_v = current_value(bc)
                 scale = (be.gain / be.radius).astype(np.float32)
                 alpha = bc.voja_rule.learning_rate * dt * ls
@@ -285,6 +307,11 @@ class NumpyStepper:
                 raise TypeError(bp.kind)
             if bp.filt_index is not None:
                 a, b = self._filt_coeffs[bp.filt_index]
+                if bp.filt_index in cascade:
+                    h = cascade[bp.filt_index]
+                    ah, bh = self._filt_coeffs[h]
+                    v = ah * new_filters[h] + bh * v
+                    new_filters[h] = v
                 v = a * new_filters[bp.filt_index] + b * v
                 new_filters[bp.filt_index] = v
             if not bp.sparse:

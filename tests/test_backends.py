@@ -63,3 +63,91 @@ class TestBackendCrossCheck:
             Connection(init, pi.input, synapse=None)
             p = Probe(pi.output, synapse=0.05)
         cross_check(net, T=0.15, seed=1, atol=5e-3)
+
+    def test_voja_associative_memory(self):
+        """Voja encoder learning (post-synapse-filtered activities) agrees
+        between the compiled scan and the interpreter."""
+        from sspslam_tpu.models import AssociativeMemory
+        rng = np.random.default_rng(3)
+        keys = rng.standard_normal((2, 4))
+        keys /= np.linalg.norm(keys, axis=1, keepdims=True)
+        vals = rng.standard_normal((2, 3)) * 0.5
+        with Network(seed=2) as net:
+            key_in = Node(lambda t: keys[int(t > 0.1)])
+            val_in = Node(lambda t: vals[int(t > 0.1)])
+            learn = Node(lambda t: np.zeros(1))  # 0 = learning on
+            am = AssociativeMemory(80, 4, 3, intercept=0.1,
+                                   neuron_type=LIFRate(), seed=2)
+            Connection(key_in, am.key_input, synapse=None)
+            Connection(val_in, am.value_input, synapse=None)
+            Connection(learn, am.learning, synapse=None)
+            p = Probe(am.recall, synapse=0.02)
+        cross_check(net, T=0.25, seed=2, atol=2e-3)
+
+    def test_alpha_synapse(self):
+        from sspslam_tpu.nef import Alpha
+        with Network(seed=0) as net:
+            inp = Node(lambda t: np.array([np.sin(8 * t)]))
+            ens = Ensemble(60, 1, neuron_type=LIFRate(), seed=0)
+            out = Node(size_in=1)
+            Connection(inp, ens, synapse=Alpha(0.01))
+            Connection(ens, out, synapse=Alpha(0.02))
+            p = Probe(out, synapse=None)
+        cross_check(net, T=0.2, seed=0)
+
+    def test_quantized_lif(self):
+        from sspslam_tpu.ops.neurons import QuantizedLIF
+        with Network(seed=4) as net:
+            inp = Node(lambda t: np.array([0.4, -0.3]))
+            ens = Ensemble(90, 2, neuron_type=QuantizedLIF(), seed=4)
+            p = Probe(ens, synapse=0.03)
+        # note: missing input connection would leave ens at bias only
+        with net:
+            Connection(inp, ens, synapse=None)
+        cross_check(net, T=0.15, seed=4, atol=5e-3)
+
+    def test_solver_weights(self):
+        with Network(seed=5) as net:
+            inp = Node(lambda t: np.array([0.5, 0.1]))
+            a = Ensemble(70, 2, neuron_type=LIFRate(), seed=5)
+            b = Ensemble(70, 2, neuron_type=LIFRate(), seed=6)
+            Connection(inp, a, synapse=None)
+            Connection(a, b, synapse=0.01, solver_weights=True)
+            p = Probe(b, synapse=0.02)
+        cross_check(net, T=0.15, seed=5)
+
+
+class TestLongHorizonDrift:
+    def test_20k_step_rate_pi_bounded_drift(self):
+        """20k-step (20 s) LIFRate path-integrator run: compiled scan vs
+        interpreter must stay within a small relative envelope over the full
+        horizon — guards against accumulating float-order drift in the
+        recurrent dynamics (the reference's T=200 s default is 10x this;
+        drift here is the leading indicator)."""
+        bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
+        space = HexagonalSSPSpace(2, ssp_dim=13, seed=0, length_scale=0.3,
+                                  domain_bounds=bounds)
+        d = space.ssp_dim
+        ssp0 = space.encode(np.array([[0.0, 0.0]])).flatten()
+        with Network(seed=6) as net:
+            vel = Node(lambda t: 0.08 * np.array([np.cos(0.7 * t),
+                                                  np.sin(0.9 * t)]))
+            init = Node(lambda t: ssp0 if t < 0.05 else np.zeros(d))
+            pi = PathIntegration(space, 40, 0.05, neuron_type=LIFRate())
+            Connection(vel, pi.velocity_input, synapse=None)
+            Connection(init, pi.input, synapse=None)
+            p = Probe(pi.output, synapse=0.05)
+        sim = Simulator(net, seed=6)
+        n_steps = 20000
+        inputs = sim._tabulate_inputs(n_steps)
+        ref = NumpyStepper(sim.model)
+        ref_out = ref.run_steps(n_steps, [np.asarray(c) for c in inputs])
+        sim.run_steps(n_steps)
+        bp = sim.model.probes[0]
+        jit_v = np.concatenate(
+            [np.asarray(c) for c in sim._probe_data[bp.index]], axis=0)
+        err = np.abs(jit_v - ref_out[bp.index]).max(axis=1)
+        scale = max(np.abs(ref_out[bp.index]).max(), 1.0)
+        # drift must stay bounded across the whole horizon, not just the end
+        assert err.max() / scale < 2e-2, f"max drift {err.max()/scale}"
+        assert err[-1] / scale < 2e-2

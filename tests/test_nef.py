@@ -60,6 +60,46 @@ class TestSynapse:
         want = 1 - np.exp(-t / 0.05)
         assert np.allclose(y, want, atol=0.05)
 
+    def test_alpha_step_response(self):
+        from sspslam_tpu.nef import Alpha
+        tau = 0.02
+        with Network() as net:
+            inp = Node(lambda t: np.array([1.0]))
+            out = Node(size_in=1)
+            Connection(inp, out, synapse=Alpha(tau))
+            p = Probe(out)
+        sim = Simulator(net, seed=0)
+        sim.run(0.2)
+        y = sim.data[p][:, 0]
+        t = sim.trange()
+        want = 1 - np.exp(-t / tau) * (1 + t / tau)  # alpha step response
+        assert np.allclose(y, want, atol=0.03)
+        assert abs(y[-1] - 1.0) < 1e-3  # unit DC gain
+
+    def test_alpha_impulse_peaks_at_tau(self):
+        from sspslam_tpu.nef import Alpha
+        tau, dt = 0.015, 0.001
+        with Network() as net:
+            inp = Node(lambda t: np.array([1.0 / dt]) if t <= 1.5 * dt
+                       else np.zeros(1))
+            out = Node(size_in=1)
+            Connection(inp, out, synapse=Alpha(tau))
+            p = Probe(out)
+        sim = Simulator(net, seed=0)
+        sim.run(0.1)
+        y = sim.data[p][:, 0]
+        t_peak = sim.trange()[int(np.argmax(y))]
+        assert abs(t_peak - tau) < 3 * dt  # h(t) = t/tau^2 e^{-t/tau} peaks at tau
+
+    def test_alpha_probe_synapse(self):
+        from sspslam_tpu.nef import Alpha
+        with Network() as net:
+            inp = Node(lambda t: np.array([1.0]))
+            p = Probe(inp, synapse=Alpha(0.01))
+        sim = Simulator(net, seed=0)
+        sim.run(0.15)
+        assert abs(sim.data[p][-1, 0] - 1.0) < 1e-3
+
     def test_none_synapse_is_instant(self):
         with Network() as net:
             inp = Node(lambda t: np.array([2.0, -1.0]))
