@@ -27,7 +27,7 @@ def main():
     parser.add_argument("--pi-n-neurons", default=800, type=int,
                         help="Neurons per VCO population")
     parser.add_argument("--neuron-type", default="lif",
-                        help="lif | lifrate | relu")
+                        help="lif | lifrate | relu | loihi | quantized")
     parser.add_argument("--approx-vel", action="store_true",
                         help="Route velocity through a noisy neural population")
     parser.add_argument("--vel-n-neurons", default=500, type=int)
@@ -48,8 +48,10 @@ def main():
     vels_scaled = vels * scale_fac
     pathlen = path.shape[0]
 
+    from sspslam_tpu.nef import LoihiLIF, QuantizedLIF
     neuron_type = {"lif": LIF(), "lifrate": LIFRate(),
-                   "relu": RectifiedLinear()}[args.neuron_type]
+                   "relu": RectifiedLinear(), "loihi": LoihiLIF(),
+                   "quantized": QuantizedLIF()}[args.neuron_type]
 
     tau = 0.05
     with Network(seed=args.seed) as model:

@@ -42,6 +42,9 @@ def main():
     parser.add_argument("--single-obj", action="store_true")
     parser.add_argument("--approx-vel", action="store_true")
     parser.add_argument("--vel-n-neurons", default=500, type=int)
+    parser.add_argument("--neuron-type", default="lif",
+                        help="lif | loihi | quantized (model-wide default; "
+                             "loihi = dt-grid Loihi-discretised LIF)")
     args = parser.parse_args()
     backend = normalize_backend(args.backend)
     if backend == "cpu":
@@ -127,7 +130,11 @@ def main():
                 mem_encoders = Probe(slam.assomemory.conn_in.learning_rule,
                                      attr="scaled_encoders", sample_every=T)
 
-    sim = Simulator(model, seed=args.seed, progress=True)
+    from sspslam_tpu.nef import LIF, LoihiLIF, QuantizedLIF
+    neuron_type = {"lif": LIF(), "loihi": LoihiLIF(),
+                   "quantized": QuantizedLIF()}[args.neuron_type]
+    sim = Simulator(model, seed=args.seed, progress=True,
+                    default_neuron_type=neuron_type)
     # resource summary (the analog of the reference's Loihi utilization
     # printout, run_slam.py:212-227)
     from sspslam_tpu.utils.profiling import print_utilization_summary

@@ -32,6 +32,9 @@ def main():
     parser.add_argument("--mem-n-neurons", default=970, type=int)
     parser.add_argument("--circonv-n-neurons", default=100, type=int)
     parser.add_argument("--gc-n-neurons", default=0, type=int)
+    parser.add_argument("--neuron-type", default="lif",
+                        help="lif | loihi | quantized (model-wide default; "
+                             "loihi = dt-grid Loihi-discretised LIF)")
     parser.add_argument("--no-voja", action="store_true")
     parser.add_argument("--no-cleanup", action="store_true")
     parser.add_argument("--vel-noise", default=0.0, type=float,
@@ -89,7 +92,11 @@ def main():
         Connection(init_state, slam.pathintegrator.input, synapse=None)
         slam_output_p = Probe(slam.pathintegrator.output, synapse=0.05)
 
-    sim = Simulator(model, seed=args.seed, progress=True)
+    from sspslam_tpu.nef import LIF, LoihiLIF, QuantizedLIF
+    neuron_type = {"lif": LIF(), "loihi": LoihiLIF(),
+                   "quantized": QuantizedLIF()}[args.neuron_type]
+    sim = Simulator(model, seed=args.seed, progress=True,
+                    default_neuron_type=neuron_type)
     if backend == "numpy":
         from experiments.common import run_with_backend
         getter, elapsed_time, elapsed_thread_time = run_with_backend(

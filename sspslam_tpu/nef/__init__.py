@@ -1,6 +1,6 @@
 """NEF-on-JAX engine: declarative graph -> jitted lax.scan simulation."""
 
-from ..ops.neurons import (LIF, LIFRate, QuantizedLIF,
+from ..ops.neurons import (LIF, LIFRate, LoihiLIF, QuantizedLIF,
                            RectifiedLinear, SpikingRectifiedLinear)
 from ..ops.synapses import Alpha, Lowpass
 from .distributions import (Choice, CosineSimilarity, Distribution,
@@ -14,7 +14,7 @@ from .processes import WhiteSignal, white_signal
 from .simulator import Simulator
 
 __all__ = [
-    "LIF", "LIFRate", "QuantizedLIF", "RectifiedLinear",
+    "LIF", "LIFRate", "LoihiLIF", "QuantizedLIF", "RectifiedLinear",
     "SpikingRectifiedLinear",
     "Alpha", "Lowpass",
     "Choice", "CosineSimilarity", "Distribution", "Exponential",

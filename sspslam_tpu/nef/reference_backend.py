@@ -49,6 +49,18 @@ def _neuron_step_np(nt, state, J, dt):
         q = float(nt.levels)
         st["voltage"] = np.round(st["voltage"] * q) / q
         return st, out
+    if kind == "LoihiLIF":
+        voltage = state["voltage"]
+        refractory = state["refractory"] - dt
+        delta_t = np.clip(dt - refractory, 0.0, dt)
+        voltage = voltage + (J - voltage) * -np.expm1(-delta_t / nt.tau_rc)
+        spiked = voltage > 1.0
+        out = np.where(spiked, nt.amplitude / dt, 0.0)
+        voltage = np.where(spiked, 0.0, np.maximum(voltage, nt.min_voltage))
+        tau_ref_q = dt * np.round(nt.tau_ref / dt)
+        refractory = np.where(spiked, tau_ref_q + dt, refractory)
+        return {"voltage": voltage.astype(np.float32),
+                "refractory": refractory.astype(np.float32)}, out
     if kind in ("LIFRate", "RectifiedLinear"):
         return state, nt.rates_np(J)
     if kind == "SpikingRectifiedLinear":
@@ -86,7 +98,7 @@ class NumpyStepper:
             nt = be.neuron_type
             if nt.spiking:
                 st = {"voltage": np.zeros(shape, np.float32)}
-                if type(nt).__name__ in ("LIF", "QuantizedLIF"):
+                if type(nt).__name__ in ("LIF", "QuantizedLIF", "LoihiLIF"):
                     st["refractory"] = np.zeros(shape, np.float32)
                 neurons.append(st)
             else:

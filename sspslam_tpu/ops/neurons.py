@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["NeuronType", "LIF", "LIFRate", "RectifiedLinear",
-           "SpikingRectifiedLinear", "QuantizedLIF"]
+           "SpikingRectifiedLinear", "QuantizedLIF", "LoihiLIF"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -150,6 +150,63 @@ class LIF(LIFRate):
         out = jnp.where(spiked, self.amplitude / dt, 0.0)
         voltage = jnp.where(spiked, 0.0, jnp.maximum(voltage, self.min_voltage))
         refractory = jnp.where(spiked, self.tau_ref + t_spike, refractory)
+        return {"voltage": voltage, "refractory": refractory}, out
+
+
+@dataclasses.dataclass(frozen=True)
+class LoihiLIF(LIF):
+    """Loihi-chip LIF discretisation (the neuron the reference's Loihi
+    backends run — selected at reference run_slam.py:202-210 via
+    nengo_loihi).
+
+    Differences from the continuous-time ``LIF``:
+
+    - no sub-dt spike-time interpolation: spikes land exactly on the dt
+      grid and the membrane resets to 0, discarding overshoot;
+    - the refractory period is quantised to a whole number of steps,
+      ``round(tau_ref/dt)``, enforced as ``refractory = tau_ref_q + dt``;
+    - consequently inter-spike intervals for constant input are EXACT
+      integer step counts: ``isi = round(tau_ref/dt) +
+      ceil((tau_rc/dt)·log1p(1/(J-1)))``, and the static rate curve used for
+      decoder solving is ``amplitude / (dt·isi)`` — the discrete update law's
+      own closed form, so the rate curve and the spiking dynamics agree
+      bit-exactly (tests/test_nef.py::TestLoihiLIF).
+
+    ``dt`` here is the discretisation step baked into the rate curve; it
+    must match the simulator dt (default 0.001 everywhere).
+    """
+
+    dt: float = 0.001
+
+    def _isi_steps_np(self, J):
+        j = np.asarray(J, np.float64) - 1.0
+        r = np.round(self.tau_ref / self.dt)
+        m = np.ceil((self.tau_rc / self.dt)
+                    * np.log1p(1.0 / np.maximum(j, 1e-12)))
+        return r + m
+
+    def rates_np(self, J):
+        isi = self._isi_steps_np(J)
+        r = self.amplitude / (self.dt * isi)
+        return np.where(np.asarray(J) > 1.0 + 1e-9, r, 0.0)
+
+    def rates(self, J):
+        j = jnp.maximum(J - 1.0, 1e-12)
+        rq = round(self.tau_ref / self.dt)
+        m = jnp.ceil((self.tau_rc / self.dt) * jnp.log1p(1.0 / j))
+        r = self.amplitude / (self.dt * (rq + m))
+        return jnp.where(J > 1.0 + 1e-9, r, 0.0)
+
+    def step(self, state, J, dt):
+        voltage = state["voltage"]
+        refractory = state["refractory"] - dt
+        delta_t = jnp.clip(dt - refractory, 0.0, dt)
+        voltage = voltage + (J - voltage) * -jnp.expm1(-delta_t / self.tau_rc)
+        spiked = voltage > 1.0
+        out = jnp.where(spiked, self.amplitude / dt, 0.0)
+        voltage = jnp.where(spiked, 0.0, jnp.maximum(voltage, self.min_voltage))
+        tau_ref_q = dt * np.round(self.tau_ref / dt)
+        refractory = jnp.where(spiked, tau_ref_q + dt, refractory)
         return {"voltage": voltage, "refractory": refractory}, out
 
 

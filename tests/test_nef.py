@@ -46,6 +46,84 @@ class TestNeurons:
         assert np.allclose(empirical, analytic, atol=2.5)
 
 
+class TestLoihiLIF:
+    """The Loihi-discretised neuron's spiking dynamics must agree BIT-EXACTLY
+    with its own closed-form rate curve: inter-spike intervals are integer
+    step counts ``round(tau_ref/dt) + ceil((tau_rc/dt)·log1p(1/(J-1)))``."""
+
+    def test_isi_bit_exact(self):
+        from sspslam_tpu.ops.neurons import LoihiLIF
+        dt = 0.001
+        nt = LoihiLIF(dt=dt)
+        J = jnp.asarray(np.linspace(1.05, 12.0, 40))
+        state = nt.init_state(J.shape)
+        spike_steps = [[] for _ in range(J.shape[0])]
+        for i in range(3000):
+            state, out = nt.step(state, J, dt)
+            for idx in np.nonzero(np.asarray(out) > 0)[0]:
+                spike_steps[idx].append(i)
+        want_isi = nt._isi_steps_np(np.asarray(J))
+        for idx in range(J.shape[0]):
+            isis = np.diff(spike_steps[idx])
+            assert len(isis) > 3
+            # every steady-state ISI is exactly the closed-form step count
+            assert np.all(isis == int(want_isi[idx])), (
+                f"J={float(J[idx])}: isis {np.unique(isis)} "
+                f"!= {want_isi[idx]}")
+
+    def test_rates_match_empirical_exactly(self):
+        from sspslam_tpu.ops.neurons import LoihiLIF
+        dt = 0.001
+        nt = LoihiLIF(dt=dt)
+        J = jnp.asarray(np.array([1.2, 2.0, 5.0, 9.0]))
+        analytic = nt.rates_np(np.asarray(J))
+        # steady-state empirical rate = 1/(dt*ISI) = analytic, exactly
+        state = nt.init_state(J.shape)
+        spikes = np.zeros(J.shape)
+        warm = 500
+        T = 4000
+        for i in range(T):
+            state, out = nt.step(state, J, dt)
+            if i >= warm:
+                spikes += np.asarray(out) * dt
+        emp = spikes / ((T - warm) * dt)
+        # windowed counting quantises at 1/(window) = 0.29 Hz
+        assert np.allclose(emp, analytic, atol=0.5)
+
+    def test_rates_below_continuous_lif(self):
+        from sspslam_tpu.ops.neurons import LoihiLIF
+        nt = LoihiLIF()
+        smooth = LIFRate()
+        J = np.linspace(1.01, 30.0, 200)
+        rq = nt.rates_np(J)
+        rs = smooth.rates_np(J)
+        # ceil-quantised periods => rate never exceeds the continuous curve
+        assert np.all(rq <= rs + 1e-9)
+        assert np.all(np.diff(rq) >= -1e-9)  # monotone
+
+    def test_pathintegration_with_loihilif_holds(self):
+        from sspslam_tpu import HexagonalSSPSpace
+        from sspslam_tpu.models import PathIntegration
+        from sspslam_tpu.nef import LoihiLIF
+        bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
+        space = HexagonalSSPSpace(2, ssp_dim=31, seed=0, length_scale=0.3,
+                                  domain_bounds=bounds)
+        d = space.ssp_dim
+        ssp0 = space.encode(np.array([[0.15, -0.2]])).flatten()
+        with Network(seed=0) as net:
+            vel = Node(lambda t: np.zeros(2))
+            init = Node(lambda t: ssp0 if t < 0.05 else np.zeros(d))
+            pi = PathIntegration(space, 250, 0.05, neuron_type=LoihiLIF())
+            Connection(vel, pi.velocity_input, synapse=None)
+            Connection(init, pi.input, synapse=None)
+            p = Probe(pi.output, synapse=0.05)
+        sim = Simulator(net, seed=0)
+        sim.run(0.5)
+        out = sim.data[p][-1]
+        sim_val = float((out / max(np.linalg.norm(out), 1e-9)) @ ssp0)
+        assert sim_val > 0.7
+
+
 class TestSynapse:
     def test_lowpass_step_response(self):
         with Network() as net:
