@@ -152,7 +152,7 @@ def main():
     ap.add_argument("--timed-steps", type=int, default=5000)
     ap.add_argument("--baseline-steps", type=int, default=15)
     ap.add_argument("--scan-unroll", type=int, default=8)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -184,6 +184,8 @@ def main():
             f"-> {rates[-1]:.0f} steps/s")
     # median of repetitions: throughput on the shared TPU tunnel is noisy
     steps_per_s = float(np.median(rates))
+    log(f"median {steps_per_s:.0f} steps/s over {args.reps} reps "
+        f"(range {min(rates):.0f}-{max(rates):.0f})")
 
     # sanity: tracking quality over what was simulated
     out = sim.data[probe]
@@ -207,14 +209,20 @@ def main():
         log(f"numpy reference interpreter: {ref_sps:.1f} steps/s")
         vs_baseline = steps_per_s / ref_sps
 
+    n_neurons = sum((be.k * be.n if be.batched else be.n)
+                    for be in sim.model.ensembles)
     print(json.dumps({
-        "metric": "SLAMNetwork sim-steps/s/chip at dt=1ms "
-                  "(ssp_dim=97, ~1e5 LIF neurons; vs_baseline = speedup over "
-                  "NumPy per-step interpreter on same model/host)",
+        "metric": f"SLAMNetwork sim-steps/s/chip at dt=1ms (ssp_dim={args.ssp_dim}, "
+                  f"{n_neurons} LIF neurons; median of {args.reps} reps; "
+                  "vs_baseline = speedup over NumPy per-step interpreter on "
+                  "same model/host — nengo is not installable here, see "
+                  "BASELINE.md)",
         "value": round(steps_per_s, 1),
         "unit": "steps/s",
         "vs_baseline": (round(vs_baseline, 1)
                         if np.isfinite(vs_baseline) else None),
+        "rep_range": [round(min(rates), 1), round(max(rates), 1)],
+        "n_reps": args.reps,
     }))
 
 
