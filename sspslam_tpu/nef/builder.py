@@ -32,8 +32,10 @@ from .distributions import sample_dist, UniformHypersphere
 from .graph import (BatchedConnection, Connection, EAElement, Ensemble,
                     EnsembleArray, LearningRule, Network, Neurons, Node,
                     ObjView, PES, Probe, Voja)
-from .solvers import (DEVICE_SOLVE_MIN_NEURONS, lstsq_l2,
-                      lstsq_l2_batched, solve_decoders_on_device)
+from .solvers import (DEVICE_SOLVE_MIN_BATCH_ELEMS, DEVICE_SOLVE_MIN_NEURONS,
+                      lstsq_l2, lstsq_l2_batched,
+                      solve_decoders_batched_on_device,
+                      solve_decoders_on_device)
 
 __all__ = ["Model", "build"]
 
@@ -451,6 +453,13 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         if not be.batched and be.n >= DEVICE_SOLVE_MIN_NEURONS:
             # large single ensembles: run the whole solve on the accelerator
             return solve_decoders_on_device(
+                be.neuron_type, be.scaled_encoders, be.bias, be.eval_points,
+                targets, reg=reg)
+        if (be.batched
+                and be.k * P * be.n >= DEVICE_SOLVE_MIN_BATCH_ELEMS):
+            # large EnsembleArrays (the VCO bank): rate tabulation + batched
+            # normal equations dominate host build time — run on device
+            return solve_decoders_batched_on_device(
                 be.neuron_type, be.scaled_encoders, be.bias, be.eval_points,
                 targets, reg=reg)
         acts = be.activities_at_eval()

@@ -11,12 +11,18 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["lstsq_l2", "lstsq_l2_batched", "solve_decoders_on_device"]
+__all__ = ["lstsq_l2", "lstsq_l2_batched", "solve_decoders_on_device",
+           "solve_decoders_batched_on_device"]
 
 #: ensembles with at least this many neurons route their decoder solve
 #: through the accelerator (J/rates/normal-equations/Cholesky on device);
 #: below it, host BLAS wins (no transfer, f64 factorisation)
 DEVICE_SOLVE_MIN_NEURONS = 2048
+
+#: batched (EnsembleArray) solves move on-device when the rate tabulation
+#: k*P*n exceeds this — at reference scale the VCO bank's host rates_np and
+#: batched normal equations dominate build time (~60 s on the 1-core host)
+DEVICE_SOLVE_MIN_BATCH_ELEMS = 5_000_000
 
 
 def solve_decoders_on_device(neuron_type, scaled_encoders, bias, eval_points,
@@ -45,6 +51,47 @@ def solve_decoders_on_device(neuron_type, scaled_encoders, bias, eval_points,
                  jnp.asarray(bias, jnp.float32),
                  jnp.asarray(eval_points, jnp.float32),
                  jnp.asarray(targets, jnp.float32))
+    return np.asarray(out, dtype=np.float64)
+
+
+def solve_decoders_batched_on_device(neuron_type, scaled_encoders, bias,
+                                     eval_points, targets,
+                                     reg: float = 0.1) -> np.ndarray:
+    """Batched (EnsembleArray) decoder solve fully on the accelerator:
+    currents, rate curves, per-element normal equations and Cholesky solves.
+    Only encoders/bias/eval-points go up and the (k, n, d) decoders come
+    down.  Numerics match :func:`lstsq_l2_batched` (f32, per-element sigma).
+
+    scaled_encoders (k, n, dim), bias (k, n), eval_points (P, dim),
+    targets (P, d) or (k, P, d)  ->  (k, n, d)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _solve(E, b, ep, Y):
+        J = jnp.einsum("pd,knd->kpn", ep, E) + b[:, None, :]
+        A = neuron_type.rates(J)                              # (k, P, n)
+        m = A.shape[1]
+        n = A.shape[2]
+        sigma = reg * jnp.max(A, axis=(1, 2))                 # (k,)
+        G = jnp.einsum("kpn,kpm->knm", A, A) + (
+            m * sigma[:, None, None] ** 2
+            * jnp.eye(n, dtype=A.dtype)[None])
+        B = jnp.einsum("kpn,kpd->knd", A, Y)
+        L = jnp.linalg.cholesky(G)
+        z = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+        return jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2), z, lower=False)
+
+    k = scaled_encoders.shape[0]
+    Y = np.asarray(targets, np.float32)
+    if Y.ndim == 2:
+        Y = np.broadcast_to(Y, (k,) + Y.shape)
+    out = _solve(jnp.asarray(scaled_encoders, jnp.float32),
+                 jnp.asarray(bias, jnp.float32),
+                 jnp.asarray(eval_points, jnp.float32),
+                 jnp.asarray(Y))
     return np.asarray(out, dtype=np.float64)
 
 
