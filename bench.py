@@ -53,9 +53,10 @@ def build(args):
         get_slam_input_functions(space, lm_space, vels, vec_to_lm, 0.8)
 
     ssp0 = space.encode(path[:1]).flatten()
+    from sspslam_tpu.nef.processes import clamp_table
     with Network(seed=seed) as net:
         vel = Node(velocity_func)
-        init = Node(lambda t: ssp0 if t < 0.05 else np.zeros(d))
+        init = Node(clamp_table(ssp0, 0.05, dt))
         lm_id = Node(sp_f)
         lm_ssp = Node(vecssp_f)
         in_view = Node(in_view_f)
@@ -112,9 +113,9 @@ def bench_pi(args, fast: bool):
         from sspslam_tpu.nef import (Connection, Network, Node, Probe,
                                      Simulator)
         d = space.ssp_dim
+        from sspslam_tpu.nef.processes import TimeTable
         with Network(seed=args.seed) as net:
-            vel = Node(lambda t: vels[min(int(round((t - 0.001) / 0.001)),
-                                          len(vels) - 1)])
+            vel = Node(TimeTable(vels))
             pi = PathIntegration(space, args.pi_n_neurons, 0.05)
             Connection(vel, pi.velocity_input, synapse=None)
             p = Probe(pi.output, synapse=0.05)

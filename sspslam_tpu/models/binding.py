@@ -37,8 +37,13 @@ def dot_product_transform(dimensions, scale=1.0):
 
 class Product(Network):
     """Element-wise product via the Gosmann decomposition:
-    x*y = ((x+y)^2 - (x-y)^2) / 4, with each squared term represented by a
-    batched array of 1-D populations (reference binding.py:233-324)."""
+    x*y = ((x+y)^2 - (x-y)^2) / 4 (reference binding.py:233-324).
+
+    Both squared terms live in ONE batched EnsembleArray of 2*dimensions
+    1-D populations (rows [0, d) hold (x+y)/sqrt(2), rows [d, 2d) hold
+    (x-y)/sqrt(2)) — half the ensemble groups and matmuls per step compared
+    to separate sq1/sq2 arrays, with identical math.  ``sq1``/``sq2`` remain
+    available as element views for API parity."""
 
     def __init__(self, n_neurons, dimensions, input_magnitude=1.0,
                  dot_product=False, label="product", **kwargs):
@@ -51,32 +56,31 @@ class Product(Network):
             out_dim = 1 if dot_product else dimensions
             self.output = Node(size_in=out_dim, label=f"{label}_output")
 
-            self.sq1 = EnsembleArray(max(1, n_neurons // 2), dimensions,
-                                     ens_dimensions=1, radius=radius,
-                                     label=f"{label}_sq1", **kwargs)
-            self.sq2 = EnsembleArray(max(1, n_neurons // 2), dimensions,
-                                     ens_dimensions=1, radius=radius,
-                                     label=f"{label}_sq2", **kwargs)
+            self.sq = EnsembleArray(max(1, n_neurons // 2), 2 * dimensions,
+                                    ens_dimensions=1, radius=radius,
+                                    label=f"{label}_sq", **kwargs)
 
             tr = 1.0 / np.sqrt(2.0)
-            Connection(self.input_a, self.sq1.input, transform=tr, synapse=None)
-            Connection(self.input_b, self.sq1.input, transform=tr, synapse=None)
-            Connection(self.input_a, self.sq2.input, transform=tr, synapse=None)
-            Connection(self.input_b, self.sq2.input, transform=-tr, synapse=None)
+            eye = np.eye(dimensions)
+            # rows [0, d): (a + b)/sqrt(2); rows [d, 2d): (a - b)/sqrt(2)
+            Connection(self.input_a, self.sq.input,
+                       transform=tr * np.vstack([eye, eye]), synapse=None)
+            Connection(self.input_b, self.sq.input,
+                       transform=tr * np.vstack([eye, -eye]), synapse=None)
 
-            sq1_out = self.sq1.add_output("square", np.square)
-            sq2_out = self.sq2.add_output("square", np.square)
+            sq_out = self.sq.add_output("square", np.square)
 
             if dot_product:
-                Connection(sq1_out, self.output,
-                           transform=dot_product_transform(dimensions, 0.5),
-                           synapse=None)
-                Connection(sq2_out, self.output,
-                           transform=dot_product_transform(dimensions, -0.5),
-                           synapse=None)
+                tr_out = np.hstack([dot_product_transform(dimensions, 0.5),
+                                    dot_product_transform(dimensions, -0.5)])
             else:
-                Connection(sq1_out, self.output, transform=0.5, synapse=None)
-                Connection(sq2_out, self.output, transform=-0.5, synapse=None)
+                tr_out = np.hstack([0.5 * eye, -0.5 * eye])
+            Connection(sq_out, self.output, transform=tr_out, synapse=None)
+
+        # element views over the two halves, for parity with the reference's
+        # sq1/sq2 attributes
+        self.sq1 = self.sq.ea_ensembles[:dimensions]
+        self.sq2 = self.sq.ea_ensembles[dimensions:]
 
 
 class CircularConvolution(Network):

@@ -246,26 +246,19 @@ def get_slam_input_functions(ssp_space, lm_space, velocity_data,
     vec_rows = vec_to_landmarks_data[np.arange(pathlen), nearest, :]
     vec_ssp_rows = np.asarray(ssp_space.encode(vec_rows))
 
-    def velocity_func(t):
-        return vels_scaled[step_of(t)]
+    # array-backed (TimeTable) signals: the Simulator slices these directly
+    # instead of looping a Python call per step (see nef/processes.py)
+    from ..nef.processes import TimeTable
+    seen = in_view[:, None]
+    velocity_func = TimeTable(vels_scaled, dt)
+    landmark_vec_func = TimeTable(np.where(seen, vec_rows, 0.0), dt)
+    landmark_sp_func = TimeTable(
+        np.where(seen, landmark_sps[np.maximum(lm_ids, 0)], 0.0), dt)
+    landmark_vecssp_func = TimeTable(np.where(seen, vec_ssp_rows, 0.0), dt)
+    is_landmark_in_view = TimeTable(np.where(in_view, 0.0, 10.0), dt)
 
     def landmark_id_func(t):
         return lm_ids[step_of(t)]
-
-    def landmark_vec_func(t):
-        i = step_of(t)
-        return vec_rows[i] if lm_ids[i] >= 0 else np.zeros(domain_dim)
-
-    def landmark_sp_func(t):
-        i = step_of(t)
-        return landmark_sps[lm_ids[i]] if lm_ids[i] >= 0 else np.zeros(d)
-
-    def landmark_vecssp_func(t):
-        i = step_of(t)
-        return vec_ssp_rows[i] if lm_ids[i] >= 0 else np.zeros(d)
-
-    def is_landmark_in_view(t):
-        return 0.0 if lm_ids[step_of(t)] >= 0 else 10.0
 
     return (velocity_func, vel_scaling_factor, is_landmark_in_view,
             landmark_id_func, landmark_sp_func, landmark_vec_func,
@@ -299,24 +292,16 @@ def get_slam_input_functions2(ssp_space, lm_space, velocity_data,
         pathlen, n_landmarks, d)
     sum_vec_ssps = np.einsum("tl,tld->td", mask, all_ssps)
 
-    def velocity_func(t):
-        return vels_scaled[step_of(t)]
+    from ..nef.processes import TimeTable
+    velocity_func = TimeTable(vels_scaled, dt)
+    landmark_vec_func = TimeTable(sum_vecs, dt)
+    landmark_sp_func = TimeTable(sum_sps, dt)
+    landmark_vecssp_func = TimeTable(sum_vec_ssps, dt)
+    is_landmark_in_view = TimeTable(np.where(any_in_view, 0.0, 10.0), dt)
 
     def landmark_id_func(t):
         i = step_of(t)
         return np.where(mask[i])[0] if any_in_view[i] else None
-
-    def landmark_vec_func(t):
-        return sum_vecs[step_of(t)]
-
-    def landmark_sp_func(t):
-        return sum_sps[step_of(t)]
-
-    def landmark_vecssp_func(t):
-        return sum_vec_ssps[step_of(t)]
-
-    def is_landmark_in_view(t):
-        return 0.0 if any_in_view[step_of(t)] else 10.0
 
     return (velocity_func, vel_scaling_factor, is_landmark_in_view,
             landmark_id_func, landmark_sp_func, landmark_vec_func,

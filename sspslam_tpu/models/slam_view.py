@@ -161,13 +161,8 @@ def get_slamview_input_functions(ssp_space, lm_space, velocity_data,
     norms = np.linalg.norm(views, axis=1, keepdims=True)
     views = np.where(norms > 1e-8, views / np.maximum(norms, 1e-8), views)
 
-    def velocity_func(t):
-        return vels_scaled[step_of(t)]
-
-    def landmark_func(t):
-        return views[step_of(t)]
-
-    def is_landmark_in_view(t):
-        return 0.0 if any_in_view[step_of(t)] else 1.0
-
+    from ..nef.processes import TimeTable
+    velocity_func = TimeTable(vels_scaled, dt)
+    landmark_func = TimeTable(views, dt)
+    is_landmark_in_view = TimeTable(np.where(any_in_view, 0.0, 1.0), dt)
     return velocity_func, vel_scaling_factor, is_landmark_in_view, landmark_func

@@ -10,7 +10,7 @@ from .distributions import (Choice, CosineSimilarity, Distribution,
 from .graph import (BatchedConnection, Connection, Default, Ensemble,
                     EnsembleArray, LearningRule, Network, Neurons, Node,
                     ObjView, PES, Probe, Voja)
-from .processes import WhiteSignal, white_signal
+from .processes import TimeTable, WhiteSignal, clamp_table, white_signal
 from .simulator import Simulator
 
 __all__ = [
@@ -22,5 +22,6 @@ __all__ = [
     "Uniform", "UniformHypersphere",
     "BatchedConnection", "Connection", "Default", "Ensemble", "EnsembleArray",
     "LearningRule", "Network", "Neurons", "Node", "ObjView", "PES", "Probe",
-    "Voja", "WhiteSignal", "white_signal", "Simulator",
+    "Voja", "TimeTable", "WhiteSignal", "clamp_table", "white_signal",
+    "Simulator",
 ]

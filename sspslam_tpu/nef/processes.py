@@ -9,7 +9,46 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["WhiteSignal", "white_signal"]
+__all__ = ["TimeTable", "WhiteSignal", "clamp_table", "white_signal"]
+
+
+class TimeTable:
+    """Time-indexed input signal backed by a precomputed (T, size) array.
+
+    Callable ``f(t) -> row`` for parity with plain node callables (the
+    reference's input nodes are all closures indexing numpy arrays by t,
+    e.g. slam.py:394), but the Simulator recognises the type and SLICES the
+    array directly when tabulating — the generic per-step Python call loop
+    costs ~5-10 us/step/node on this host, which at path-integrator scale
+    rivals the entire on-device step.  Rows past the end repeat the last
+    value (matching the closures' clamped indexing)."""
+
+    def __init__(self, values, dt: float = 0.001):
+        values = np.asarray(values, np.float32)
+        self.values = values.reshape(len(values), -1)
+        self.dt = float(dt)
+
+    def __call__(self, t):
+        i = int(round((t - self.dt) / self.dt))
+        return self.values[min(max(i, 0), len(self.values) - 1)]
+
+    def rows(self, start_step: int, n_steps: int) -> np.ndarray:
+        """Rows for simulation steps [start_step, start_step + n_steps)."""
+        T = len(self.values)
+        if start_step + n_steps <= T:
+            return self.values[start_step:start_step + n_steps]
+        idx = np.minimum(np.arange(start_step, start_step + n_steps), T - 1)
+        return self.values[idx]
+
+
+def clamp_table(value, t_on: float, dt: float = 0.001) -> TimeTable:
+    """TimeTable holding ``value`` while t < t_on and zeros afterwards — the
+    reference's initial-state clamp node pattern (run_pathint.py:136)."""
+    value = np.asarray(value, np.float32).reshape(-1)
+    n_on = max(0, int(np.ceil(t_on / dt)) - 1)
+    rows = np.vstack([np.tile(value, (n_on, 1)),
+                      np.zeros((1, value.size), np.float32)])
+    return TimeTable(rows, dt)
 
 
 def white_signal(period, dt, high, rms=0.5, seed=None, size_out=1, y0=None):

@@ -86,9 +86,14 @@ class Simulator:
         and the jitted call transfers each slice (sub-ms) — eagerly slicing
         device arrays would trigger a fresh eager-op compile per distinct
         offset on remote-compile backends."""
+        from .processes import TimeTable
         cols = []
         for node in self.model.input_nodes:
             f = node.output
+            if isinstance(f, TimeTable):
+                # array-backed node: slice, don't loop
+                cols.append(f.rows(self.n_steps, n_steps))
+                continue
             t0 = self.n_steps * self.dt
             vals = np.empty((n_steps, node.size_out), dtype=np.float32)
             for i in range(n_steps):
