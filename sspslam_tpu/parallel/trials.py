@@ -7,12 +7,16 @@ scan, optionally sharded over a device-mesh 'data' axis.  Each episode
 carries its own neuron/synapse/learned-weight state, so online learning is
 independent per episode.
 
-Known status (round 1): numerically verified on the CPU mesh; on the single
-remote TPU chip the vmapped step currently lowers with poor per-iteration
-efficiency relative to the single-episode path (aggregate throughput below
-1x single) — per-episode sequential runs are faster there until the batched
-lowering is tuned.  Multi-chip deployments shard the batch axis over
-devices, where each shard runs at single-episode cost.
+Lowering (settled in round 2, experiments/dp_probe.py): ONE unbatched
+``lax.scan`` whose body is ``vmap(step)``, with time-major input tables
+(T, B, size) so each scan iteration slices a contiguous (B, size) block,
+and parameters device_put once.  The round-1 "vmap collapse" was a
+combination of (a) vmap-of-scan slicing xs along a non-leading axis,
+(b) per-call re-upload of host parameter arrays over the TPU tunnel, and
+(c) timing single un-chained calls whose ~30 ms round-trip latency dominated.
+Measured on the v5e: B=8 episodes run at >4x the single-episode aggregate
+throughput (see VALIDATION.md).  Multi-chip deployments shard the batch
+axis over devices, where each shard runs at single-episode cost.
 """
 
 from __future__ import annotations
@@ -46,37 +50,43 @@ def run_batched_episodes(sim: Simulator, input_tables: List[np.ndarray],
         f"expected {len(model.input_nodes)} input tables")
     B = input_tables[0].shape[0] if input_tables else 1
     step = sim._step_fn
-    params = sim.params
+    vstep = jax.vmap(step, in_axes=(0, 0, None))
 
-    def episode(state, xs_cols):
+    def scan_fn(state, xs_cols, params):
         def body(carry, xs):
-            return step(carry, xs, params)
+            return vstep(carry, xs, params)
         return jax.lax.scan(body, state, xs_cols, length=n_steps,
                             unroll=max(1, min(unroll, n_steps)))
 
-    run = jax.vmap(episode)
     if mesh is not None:
         from .sharding import replicated
         from jax.sharding import NamedSharding, PartitionSpec as P
         batch_sh = NamedSharding(mesh, P(axis))
         state_sh = jax.tree_util.tree_map(
             lambda _: batch_sh, sim.model.initial_state())
-        xs_sh = [batch_sh] * len(input_tables)
-        run = jax.jit(run, in_shardings=(state_sh, xs_sh))
+        # time-major xs: batch is axis 1
+        xs_sh = [NamedSharding(mesh, P(None, axis))] * len(input_tables)
+        params_sh = jax.tree_util.tree_map(lambda _: replicated(mesh),
+                                           sim.params)
+        run = jax.jit(scan_fn, in_shardings=(state_sh, xs_sh, params_sh))
     else:
-        run = jax.jit(run)
+        run = jax.jit(scan_fn)
 
     state0 = jax.tree_util.tree_map(
         lambda x: np.broadcast_to(np.asarray(x), (B,) + np.shape(x)).copy(),
         sim.state)
-    xs = [jnp.asarray(np.asarray(tab, np.float32)) for tab in input_tables]
-    final_state, emits = run(state0, xs)
+    # (B, T, s) -> time-major (T, B, s): each scan step reads a contiguous
+    # (B, s) block instead of a strided gather
+    xs = [jnp.asarray(np.swapaxes(np.asarray(tab, np.float32), 0, 1))
+          for tab in input_tables]
+    params_dev = (jax.device_put(sim.params) if mesh is None else sim.params)
+    final_state, emits = run(state0, xs, params_dev)
 
     out = {}
     for bp in model.probes:
         if bp.sparse:
             continue
-        v = np.asarray(emits[bp.index])  # (B, n_steps, ...)
+        v = np.swapaxes(np.asarray(emits[bp.index]), 0, 1)  # -> (B, n_steps, ...)
         if bp.period_steps > 1:
             v = v[:, bp.period_steps - 1::bp.period_steps]
         out[bp.obj] = v
