@@ -104,8 +104,10 @@ def bench_pi(args, fast: bool):
         t0 = time.time()
         fpi.run(vels[:seg])
         log(f"compile+warmup: {time.time() - t0:.1f}s")
+        # state-synced timing, outputs left device-resident — the same
+        # accounting as the generic engine's lazy probes below
         t0 = time.time()
-        out = fpi.run(vels[seg:])
+        out = fpi.run(vels[seg:], transfer=False)
         sps = T / (time.time() - t0)
         label = "PathIntegration Pallas fused kernel"
     else:

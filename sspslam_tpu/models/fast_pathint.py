@@ -32,7 +32,7 @@ class FastPathIntegrator:
                  scaling_factor=1.0, stable=True, max_radius=1.0,
                  tau_probe=0.05, seed: Optional[int] = 0,
                  chunk_steps: int = 1000, dt: float = 0.001,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None, mxu_decode: bool = True):
         self.ssp_space = ssp_space
         self.dt = dt
         self.chunk_steps = chunk_steps
@@ -90,31 +90,49 @@ class FastPathIntegrator:
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self._interpret = interpret
+        self._mxu_decode = mxu_decode
+        if mxu_decode:
+            # lane-align the oscillator axis so the packed-decoder MXU path
+            # can slice the (1, 5*k) reduction row at tile boundaries
+            from ..ops.pallas_kernels import pad_vco_params_to_lanes
+            self.params = pad_vco_params_to_lanes(self.params)
+            self.k = self.params.bias.shape[1]
         self._scan_cache = {}
         self.state = self.initial_state()
 
     def initial_state(self) -> VCOState:
         f32 = jnp.float32
+        # the mxu path's fout state holds the filtered (1, 2k) decode rows
+        # (projection to SSP space happens outside the kernel)
+        fout_shape = (1, 2 * self.k) if self._mxu_decode else (1, self.d)
         return VCOState(
             voltage=jnp.zeros((self.n, self.k), f32),
             refractory=jnp.zeros((self.n, self.k), f32),
             f0=jnp.zeros((1, self.k), f32),
             f1=jnp.zeros((1, self.k), f32),
             f2=jnp.zeros((1, self.k), f32),
-            fout=jnp.zeros((1, self.d), f32),
+            fout=jnp.zeros(fout_shape, f32),
         )
 
     def _scan_for(self, n_steps):
         if n_steps not in self._scan_cache:
-            self._scan_cache[n_steps] = make_vco_scan(
-                self.params, n_steps, interpret=self._interpret)
+            if self._mxu_decode:
+                from ..ops.pallas_kernels import make_vco_scan_v2
+                self._scan_cache[n_steps] = make_vco_scan_v2(
+                    self.params, n_steps, interpret=self._interpret)
+            else:
+                self._scan_cache[n_steps] = make_vco_scan(
+                    self.params, n_steps, interpret=self._interpret)
         return self._scan_cache[n_steps]
 
     def run(self, velocities: np.ndarray,
-            corrections: Optional[np.ndarray] = None) -> np.ndarray:
+            corrections: Optional[np.ndarray] = None,
+            transfer: bool = True):
         """Integrate a (T, N) velocity table (optionally with (T, d) SSP
         corrections, e.g. the initial-state clamp); returns the (T, d)
-        filtered SSP estimate trace."""
+        filtered SSP estimate trace (``transfer=False``: the list of
+        device-resident chunk traces instead — used for state-only timing
+        symmetrical with the Simulator's lazy probes)."""
         velocities = np.asarray(velocities, np.float32)
         T = velocities.shape[0]
         if corrections is None:
@@ -127,6 +145,13 @@ class FastPathIntegrator:
             self.state, out = scan(self.state,
                                    jnp.asarray(velocities[done:done + c]),
                                    jnp.asarray(corrections[done:done + c]))
-            outs.append(np.asarray(out))
+            # keep chunk traces on device so kernel launches pipeline; the
+            # device->host transfer happens once, below (synchronous per-chunk
+            # np.asarray serialised each launch behind a full trace transfer
+            # and dominated wall time on the remote TPU)
+            outs.append(out)
             done += c
-        return np.concatenate(outs, axis=0)
+        if not transfer:
+            jax.block_until_ready(self.state)
+            return outs
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)

@@ -21,22 +21,29 @@ def space():
 
 class TestFastPathIntegrator:
     def test_kernel_matches_jnp_reference(self, space):
+        # mxu_decode kernel (lane-padded, packed decode, hoisted projections)
         fpi = FastPathIntegrator(space, 48, seed=0, chunk_steps=20,
-                                 interpret=True)
+                                 interpret=True, mxu_decode=True)
+        # unpadded twin supplies the plain jnp reference step's params
+        ref_fpi = FastPathIntegrator(space, 48, seed=0, chunk_steps=20,
+                                     interpret=True, mxu_decode=False)
         T = 40
         rng = np.random.default_rng(0)
         vels = 0.02 * rng.normal(size=(T, 2)).astype(np.float32)
         corr = np.zeros((T, space.ssp_dim), np.float32)
         corr[0] = space.encode(np.array([[0.1, 0.1]])).flatten()
         out = fpi.run(vels, corr)
+        out_v1 = ref_fpi.run(vels, corr)
 
         # jnp reference, step by step
-        state = fpi.initial_state()
+        state = ref_fpi.initial_state()
         ref = []
         for t in range(T):
-            state, y = vco_reference_step(fpi.params, state, vels[t], corr[t])
+            state, y = vco_reference_step(ref_fpi.params, state, vels[t],
+                                          corr[t])
             ref.append(np.asarray(y))
         ref = np.stack(ref)
+        assert np.allclose(out_v1, ref, atol=2e-4), np.abs(out_v1 - ref).max()
         assert np.allclose(out, ref, atol=2e-4), np.abs(out - ref).max()
 
     def test_matches_generic_engine(self, space):
