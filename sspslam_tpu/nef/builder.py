@@ -77,7 +77,9 @@ class BuiltEnsemble:
             if self.batched:
                 Et = np.ascontiguousarray(
                     self.scaled_encoders.transpose(0, 2, 1), dtype=np.float32)
-                J = ep[None] @ Et + self.bias[:, None, :].astype(np.float32)
+                # fused groups carry per-element eval points (k, P, dim)
+                epb = ep if ep.ndim == 3 else ep[None]
+                J = epb @ Et + self.bias[:, None, :].astype(np.float32)
             else:
                 Et = np.ascontiguousarray(self.scaled_encoders.T,
                                           dtype=np.float32)
@@ -129,6 +131,7 @@ class BuiltProbe:
     shape: Tuple[int, ...] = ()
     period_steps: int = 1
     sparse: bool = False
+    elem_index: Optional[int] = None   # element within a fused batched group
 
 
 class Model:
@@ -176,7 +179,13 @@ class Model:
 # ---------------------------------------------------------------------------
 
 def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
-          default_neuron_type: Optional[NeuronType] = None) -> Model:
+          default_neuron_type: Optional[NeuronType] = None,
+          fuse_ensembles: bool = True) -> Model:
+    """``fuse_ensembles``: merge same-shaped single ensembles (same n, dim,
+    radius, neuron type; no Voja-learned encoders, not pre of a PES
+    connection) into ONE batched group executed as a single einsum + neuron
+    update per step — a TPU op-count optimisation with bitwise-identical
+    parameters (each element keeps its own seeded draws)."""
     model = Model(network, dt, seed)
     master = np.random.default_rng(seed if seed is not None else network.seed)
     default_nt = default_neuron_type or LIF()
@@ -246,12 +255,59 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         return BuiltEnsemble(ea, idx, True, k, n, d, ea.radius, nt,
                              gain, bias, enc, scaled, ep)
 
-    for ens in ens_list:
-        if id(ens) in ea_protos:
+    # element index within a fused batched group, keyed by id(Ensemble)
+    fused_elem: Dict[int, int] = {}
+
+    # fusion exclusions: Voja-learned encoders live in the carry per
+    # ensemble; PES pre-activities are filtered per ensemble
+    voja_posts, pes_pres = set(), set()
+    for conn in conn_list:
+        lrt = getattr(conn, "learning_rule_type", None)
+        if isinstance(lrt, Voja):
+            post = conn.post.obj if isinstance(conn.post, ObjView) else conn.post
+            voja_posts.add(id(post))
+        if isinstance(lrt, PES):
+            pre = conn.pre.obj if isinstance(conn.pre, ObjView) else conn.pre
+            pes_pres.add(id(pre))
+
+    # build every single in declaration order (preserves each ensemble's
+    # seeded parameter draws exactly), then group same-shaped ones
+    singles = [(ens, build_single(ens, -1))
+               for ens in ens_list if id(ens) not in ea_protos]
+    groups: Dict[Any, list] = {}
+    for ens, be in singles:
+        fusable = (fuse_ensembles and id(ens) not in voja_posts
+                   and id(ens) not in pes_pres)
+        key = ((be.n, be.dim, float(be.radius), be.neuron_type,
+                be.eval_points.shape[0])
+               if fusable else ("solo", id(ens)))
+        groups.setdefault(key, []).append((ens, be))
+
+    for key, members in groups.items():
+        if len(members) == 1:
+            ens, be = members[0]
+            be.index = len(model.ensembles)
+            built_by_obj[id(ens)] = be
+            model.ensembles.append(be)
             continue
-        be = build_single(ens, len(model.ensembles))
-        built_by_obj[id(ens)] = be
-        model.ensembles.append(be)
+        first = members[0][1]
+        merged = BuiltEnsemble(
+            obj=tuple(ens for ens, _ in members),
+            index=len(model.ensembles), batched=True,
+            k=len(members), n=first.n, dim=first.dim, radius=first.radius,
+            neuron_type=first.neuron_type,
+            gain=np.stack([b.gain for _, b in members]),
+            bias=np.stack([b.bias for _, b in members]),
+            encoders=np.stack([b.encoders for _, b in members]),
+            scaled_encoders=np.stack([b.scaled_encoders
+                                      for _, b in members]),
+            # per-element eval points: (k, P, dim)
+            eval_points=np.stack([b.eval_points for _, b in members]))
+        for j, (ens, _) in enumerate(members):
+            built_by_obj[id(ens)] = merged
+            fused_elem[id(ens)] = j
+        model.ensembles.append(merged)
+
     for ea in ea_list:
         be = build_array(ea, len(model.ensembles))
         built_by_obj[id(ea)] = be
@@ -329,8 +385,10 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             if isinstance(base, Node):
                 return "node", base, pre.indices_for(base.size_out), None
             if isinstance(base, Ensemble):
-                return ("ens_view", built_by_obj[id(base)],
-                        pre.indices_for(base.dimensions), None)
+                j = fused_elem.get(id(base))
+                kind = "ea_elem" if j is not None else "ens_view"
+                return (kind, built_by_obj[id(base)],
+                        pre.indices_for(base.dimensions), j)
             if isinstance(base, EAElement):
                 return ("ea_elem", built_by_obj[id(base.ea)],
                         pre.indices_for(base.dimensions), base.index)
@@ -338,13 +396,17 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         if isinstance(pre, Node):
             return "node", pre, None, None
         if isinstance(pre, Ensemble):
+            j = fused_elem.get(id(pre))
+            if j is not None:
+                return "ea_elem", built_by_obj[id(pre)], None, j
             return "ens", built_by_obj[id(pre)], None, None
         if isinstance(pre, EnsembleArray):
             return "node", pre.output, None, None
         if isinstance(pre, EAElement):
             return "ea_elem", built_by_obj[id(pre.ea)], None, pre.index
         if isinstance(pre, Neurons):
-            return "neurons", built_by_obj[id(pre.ensemble)], None, None
+            return ("neurons", built_by_obj[id(pre.ensemble)], None,
+                    fused_elem.get(id(pre.ensemble)))
         raise TypeError(f"bad pre {pre!r}")
 
     def resolve_post(post):
@@ -353,8 +415,10 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             if isinstance(base, Node):
                 return "node", base, post.indices_for(base.size_in), None
             if isinstance(base, Ensemble):
-                return ("ens", built_by_obj[id(base)],
-                        post.indices_for(base.dimensions), None)
+                j = fused_elem.get(id(base))
+                kind = "ea_elem" if j is not None else "ens"
+                return (kind, built_by_obj[id(base)],
+                        post.indices_for(base.dimensions), j)
             if isinstance(base, EAElement):
                 return ("ea_elem", built_by_obj[id(base.ea)],
                         post.indices_for(base.dimensions), base.index)
@@ -362,13 +426,17 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         if isinstance(post, Node):
             return "node", post, None, None
         if isinstance(post, Ensemble):
+            j = fused_elem.get(id(post))
+            if j is not None:
+                return "ea_elem", built_by_obj[id(post)], None, j
             return "ens", built_by_obj[id(post)], None, None
         if isinstance(post, EnsembleArray):
             return "node", post.input, None, None
         if isinstance(post, EAElement):
             return "ea_elem", built_by_obj[id(post.ea)], None, post.index
         if isinstance(post, Neurons):
-            return "neurons", built_by_obj[id(post.ensemble)], None, None
+            return ("neurons", built_by_obj[id(post.ensemble)], None,
+                    fused_elem.get(id(post.ensemble)))
         if isinstance(post, LearningRule):
             kind = "pes" if isinstance(post.rule, PES) else "voja"
             return kind, post, None, None
@@ -382,6 +450,8 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         elif kind == "ea_elem":
             s = pre.dim
         elif kind == "neurons":
+            if elem_index is not None:  # one element of a fused group
+                return pre.n
             return pre.k * pre.n if pre.batched else pre.n
         else:
             raise TypeError(kind)
@@ -397,6 +467,8 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         if kind == "ea_elem":
             return post.dim
         if kind == "neurons":
+            if elem_index is not None:  # one element of a fused group
+                return post.n
             return post.k * post.n if post.batched else post.n
         if kind == "pes":
             return post.size_in
@@ -431,25 +503,32 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         _decoder_cache[key] = out
         return out
 
-    def _solve_decoders_impl(be: BuiltEnsemble, function, reg, pre_indices=None):
-        ep = be.eval_points  # (P, dim), represented space
+    def _eval_targets(ep, function):
+        """targets for one (P, dim) eval-point block."""
         P = ep.shape[0]
         if function is None:
-            targets = ep.copy()
+            return ep.copy()
+        try:  # vectorised functions evaluate the whole batch at once
+            batch = np.asarray(function(ep), dtype=np.float64)
+            if batch.ndim == 2 and batch.shape[0] == P:
+                return batch
+        except Exception:
+            pass
+        return np.asarray(
+            [np.atleast_1d(np.asarray(function(x), dtype=np.float64))
+             for x in ep])
+
+    def _solve_decoders_impl(be: BuiltEnsemble, function, reg, pre_indices=None):
+        ep = be.eval_points  # (P, dim) — or (k, P, dim) for fused groups
+        per_elem = be.batched and ep.ndim == 3
+        P = ep.shape[1] if per_elem else ep.shape[0]
+        if per_elem:
+            targets = np.stack([_eval_targets(ep[j], function)
+                                for j in range(be.k)])   # (k, P, d)
         else:
-            targets = None
-            try:  # vectorised functions evaluate the whole batch at once
-                batch = np.asarray(function(ep), dtype=np.float64)
-                if batch.ndim == 2 and batch.shape[0] == P:
-                    targets = batch
-            except Exception:
-                pass
-            if targets is None:
-                targets = np.asarray(
-                    [np.atleast_1d(np.asarray(function(x), dtype=np.float64))
-                     for x in ep])
+            targets = _eval_targets(ep, function)
         if pre_indices is not None:
-            targets = targets[:, pre_indices]
+            targets = targets[..., pre_indices]
         if not be.batched and be.n >= DEVICE_SOLVE_MIN_NEURONS:
             # large single ensembles: run the whole solve on the accelerator
             return solve_decoders_on_device(
@@ -504,9 +583,12 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                 # Full-weight solve (nengo LstsqL2(weights=True) equivalent,
                 # reference pathintegration.py:180-185): fold transform and
                 # post encoders into one neuron->neuron matrix; the decoded
-                # signal never exists at run time.
-                assert sk == "ens" and not post.batched, \
+                # signal never exists at run time.  ``ea_elem`` endpoints are
+                # elements of fused batched groups — currents inject into the
+                # element's row.
+                assert sk in ("ens", "ea_elem"), \
                     "solver_weights=True requires a single-Ensemble post"
+                assert sk == "ea_elem" or not post.batched
                 assert conn.learning_rule_type is None, \
                     "solver_weights=True is incompatible with learning rules"
                 assert post.voja_conn_index is None, \
@@ -517,12 +599,15 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                     D = D @ np.asarray(bc.weights, np.float64).T  # -> post dim
                 elif bc.scalar_weight != 1.0:
                     D = D * bc.scalar_weight
-                Wfull = np.asarray(post.scaled_encoders, np.float64) @ D.T
+                E_post = np.asarray(post.scaled_encoders, np.float64)
+                if sk == "ea_elem":
+                    E_post = E_post[selem]
+                Wfull = E_post @ D.T
                 bc.weights = Wfull                               # (n_post, n_pre)
                 bc.scalar_weight = 1.0
                 bc.decoders = None
                 bc.full_weights = True
-                bc.pre_kind = "neurons"
+                bc.pre_kind = "neurons"   # ea_elem_index selects a fused row
                 bc.post_kind = "neurons"
                 psize = post.n  # filtered signal is post input current
         elif pk == "node":
@@ -645,10 +730,14 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                 bp.kind, bp.target = "weights", bc
         elif isinstance(tgt, Neurons):
             bp.kind, bp.target = "activities", built_by_obj[id(tgt.ensemble)]
+            bp.elem_index = fused_elem.get(id(tgt.ensemble))
         elif isinstance(tgt, Ensemble):
             be = built_by_obj[id(tgt)]
             bp.kind, bp.target = "ens_decoded", be
-            bp.decoders = solve_decoders(be, None, 0.1)
+            j = fused_elem.get(id(tgt))
+            bp.elem_index = j
+            dec = solve_decoders(be, None, 0.1)
+            bp.decoders = dec[j] if j is not None else dec
         elif isinstance(tgt, Node):
             bp.kind, bp.target = "node", tgt
         elif isinstance(tgt, EnsembleArray):
@@ -666,7 +755,17 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         model.probes.append(bp)
 
     # ---- topological order of same-step units -----------------------------
-    model.topo_units = _topo_sort(model)
+    try:
+        model.topo_units = _topo_sort(model)
+    except RuntimeError:
+        if fuse_ensembles:
+            # fusing two ensembles that feed each other through an
+            # instantaneous path makes the merged unit self-dependent; fall
+            # back to the unfused build (correct, slightly more ops)
+            return build(network, dt=dt, seed=seed,
+                         default_neuron_type=default_neuron_type,
+                         fuse_ensembles=False)
+        raise
     return model
 
 
@@ -677,6 +776,8 @@ def _probe_shape(bp: BuiltProbe) -> Tuple[int, ...]:
         return (bp.target.dim,)
     if bp.kind == "activities":
         be = bp.target
+        if bp.elem_index is not None:
+            return (be.n,)
         return (be.k, be.n) if be.batched else (be.n,)
     if bp.kind == "weights":
         d = bp.target.decoders.shape[-1]

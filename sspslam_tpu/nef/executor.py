@@ -117,6 +117,8 @@ def make_step_fn(model: Model, dtype=jnp.float32):
             if bc.pre_kind == "ea_batch":
                 return jnp.einsum("kn,knd->kd", act, decoders_of(bc))
             if bc.pre_kind == "neurons":
+                if bc.ea_elem_index is not None:  # fused-group element
+                    return act[bc.ea_elem_index]
                 return act.reshape(-1)
             if bc.pre_kind == "ea_neurons":
                 return act              # (k, n) raw activities
@@ -216,7 +218,10 @@ def make_step_fn(model: Model, dtype=jnp.float32):
                     J = E @ x + p["bias"]
                 for bc in ens_cur.get(be.index, []):
                     v = conn_output(bc)
-                    J = J + v.reshape(J.shape)
+                    if bc.post_elem_index is not None:  # fused-group element
+                        J = J.at[bc.post_elem_index].add(v)
+                    else:
+                        J = J + v.reshape(J.shape)
                 ns, out = be.neuron_type.step(new_neurons[be.index], J, dt)
                 new_neurons[be.index] = ns
                 sig_act[be.index] = out
@@ -278,9 +283,14 @@ def make_step_fn(model: Model, dtype=jnp.float32):
             if bp.kind == "node":
                 v = sig_node[id(bp.target)]
             elif bp.kind == "ens_decoded":
-                v = sig_act[bp.target.index] @ probe_const[str(bp.index)]["D"]
+                act = sig_act[bp.target.index]
+                if bp.elem_index is not None:
+                    act = act[bp.elem_index]
+                v = act @ probe_const[str(bp.index)]["D"]
             elif bp.kind == "activities":
                 v = sig_act[bp.target.index]
+                if bp.elem_index is not None:
+                    v = v[bp.elem_index]
             elif bp.kind == "weights":
                 D = (new_learned[bp.target.learned_slot]
                      if bp.target.learned_slot else conn_const[str(bp.target.index)]["D"])

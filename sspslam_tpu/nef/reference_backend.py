@@ -169,6 +169,8 @@ class NumpyStepper:
             if bc.pre_kind == "ea_batch":
                 return np.einsum("kn,knd->kd", act, decoders_of(bc))
             if bc.pre_kind == "neurons":
+                if bc.ea_elem_index is not None:  # fused-group element
+                    return act[bc.ea_elem_index]
                 return act.reshape(-1)
             if bc.pre_kind == "ea_neurons":
                 return act              # (k, n) raw activities
@@ -247,7 +249,11 @@ class NumpyStepper:
                     J = E @ x + be.bias.astype(np.float32)
                 for bc in self.ens_cur.get(be.index, []):
                     v = conn_output(bc)
-                    J = J + (v.reshape(J.shape) if v.size == J.size else v)
+                    if bc.post_elem_index is not None:  # fused-group element
+                        J = J.copy()
+                        J[bc.post_elem_index] += v
+                    else:
+                        J = J + (v.reshape(J.shape) if v.size == J.size else v)
                 ns, out = _neuron_step_np(be.neuron_type,
                                           st["neurons"][be.index], J, dt)
                 st["neurons"][be.index] = ns
@@ -306,9 +312,14 @@ class NumpyStepper:
             if bp.kind == "node":
                 v = sig_node[id(bp.target)]
             elif bp.kind == "ens_decoded":
-                v = sig_act[bp.target.index] @ bp.decoders.astype(np.float32)
+                act = sig_act[bp.target.index]
+                if bp.elem_index is not None:
+                    act = act[bp.elem_index]
+                v = act @ bp.decoders.astype(np.float32)
             elif bp.kind == "activities":
                 v = sig_act[bp.target.index]
+                if bp.elem_index is not None:
+                    v = v[bp.elem_index]
             elif bp.kind == "weights":
                 D = (learned[bp.target.learned_slot]
                      if bp.target.learned_slot else bp.target.decoders)

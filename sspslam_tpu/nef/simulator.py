@@ -54,13 +54,14 @@ class Simulator:
     def __init__(self, network: Network, dt: float = 0.001,
                  seed: Optional[int] = None, default_neuron_type=None,
                  progress: bool = False, dtype=jnp.float32, mesh=None,
-                 scan_unroll: int = 4):
+                 scan_unroll: int = 4, fuse_ensembles: bool = True):
         _enable_compilation_cache()
         self.scan_unroll = scan_unroll
         self.dt = float(dt)
         self.progress = progress
         self.model: Model = build(network, dt=dt, seed=seed,
-                                  default_neuron_type=default_neuron_type)
+                                  default_neuron_type=default_neuron_type,
+                                  fuse_ensembles=fuse_ensembles)
         self._step_fn = make_step_fn(self.model, dtype=dtype)
         # device-resident once: passing host arrays would re-transfer the
         # whole parameter set on every segment call

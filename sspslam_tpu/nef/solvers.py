@@ -70,7 +70,8 @@ def solve_decoders_batched_on_device(neuron_type, scaled_encoders, bias,
 
     @jax.jit
     def _solve(E, b, ep, Y):
-        J = jnp.einsum("pd,knd->kpn", ep, E) + b[:, None, :]
+        J = (jnp.einsum("kpd,knd->kpn", ep, E) if ep.ndim == 3
+             else jnp.einsum("pd,knd->kpn", ep, E)) + b[:, None, :]
         A = neuron_type.rates(J)                              # (k, P, n)
         m = A.shape[1]
         n = A.shape[2]

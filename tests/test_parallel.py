@@ -110,7 +110,10 @@ class TestShardMapVCO:
         from sspslam_tpu.ops.pallas_kernels import vco_reference_step
         from sspslam_tpu.parallel.shard_step import make_sharded_vco_scan
 
-        fpi = FastPathIntegrator(space, 40, seed=0, interpret=True)
+        # mxu_decode=False: the shard_map path does its own mesh-padding and
+        # consumes unpadded (1, d)-fout-layout params
+        fpi = FastPathIntegrator(space, 40, seed=0, interpret=True,
+                                 mxu_decode=False)
         T = 30
         rng = np.random.default_rng(0)
         vels = (0.03 * rng.normal(size=(T, 2))).astype(np.float32)
