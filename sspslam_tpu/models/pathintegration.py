@@ -321,18 +321,19 @@ class PathIntegrationBCsGCs(Network):
             root = (er + 1j * ei) ** (1.0 / 3.0)
             return root.real, root.imag
 
-        def make_correction(pair):
-            lo = 2 * pair
-
-            def correction(x):
-                er, ei = _consistency(x)
+        def combined_correction(x):
+            # all three oscillator-pair corrections decoded from one 6-D
+            # grid-cell population at once (reference wires them as three
+            # separate decoded connections, pathintegration.py:793-807; one
+            # 6-D decode is the batched equivalent)
+            er, ei = _consistency(x)
+            out = []
+            for p in range(3):
+                lo = 2 * p
                 res = np.array([er * x[lo] + ei * x[lo + 1],
                                 er * x[lo + 1] - ei * x[lo]])
-                return ecf * (res - x[lo:lo + 2]) + x[lo:lo + 2]
-
-            return correction
-
-        corrections = [make_correction(p) for p in range(3)]
+                out.append(ecf * (res - x[lo:lo + 2]) + x[lo:lo + 2])
+            return np.concatenate(out)
 
         to_SSP = get_from_Fourier(d)
         to_Fourier = get_to_Fourier(d)
@@ -368,29 +369,39 @@ class PathIntegrationBCsGCs(Network):
             Connection(zerofreq, self.oscillators.ea_ensembles[0],
                        synapse=None)
 
-            # oscillator (Re, Im) pairs -> grid-cell modules of 3
+            # oscillator (Re, Im) pairs -> grid-cell modules of 3: ONE routed
+            # connection off the identity-decoded EA output instead of k-1
+            # per-element connections (identical decoders/filters; the
+            # routing is a fixed 0/1 matrix)
+            R_in = np.zeros((6 * n_groups, 3 * k))
             for i in range(1, k):
                 g = (i - 1) // 3
                 if g >= n_groups:
                     break
                 pos = 2 * ((i - 1) % 3)
-                Connection(self.oscillators.ea_ensembles[i][:2],
-                           self.gridcells.ea_ensembles[g][pos:pos + 2],
-                           synapse=recurrent_tau)
+                R_in[6 * g + pos, 3 * i] = 1.0
+                R_in[6 * g + pos + 1, 3 * i + 1] = 1.0
+            Connection(self.oscillators.output, self.gridcells.input,
+                       transform=R_in, synapse=recurrent_tau)
 
-            # phase-consistency corrections back into oscillator pairs.
+            # phase-consistency corrections back into oscillator pairs: one
+            # 6-D decoded output per module, routed into the oscillators.
             # (Corrections return to the same oscillators the module observes,
             # 3g+1..3g+3; the reference wires them to 3g..3g+2 — an apparent
             # off-by-one, pathintegration.py:793-807.)
+            corr_out = self.gridcells.add_output("corrections",
+                                                 combined_correction,
+                                                 out_dim=6)
+            R_out = np.zeros((3 * k, 6 * n_groups))
             for g in range(n_groups):
                 for p in range(3):
                     osc_index = 3 * g + 1 + p
                     if osc_index >= k:
                         break
-                    Connection(self.gridcells.ea_ensembles[g],
-                               self.oscillators.ea_ensembles[osc_index][:2],
-                               function=corrections[p],
-                               synapse=recurrent_tau)
+                    R_out[3 * osc_index + 0, 6 * g + 2 * p] = 1.0
+                    R_out[3 * osc_index + 1, 6 * g + 2 * p + 1] = 1.0
+            Connection(corr_out, self.oscillators.input, transform=R_out,
+                       synapse=recurrent_tau)
 
             Connection(self.oscillators.output, self.output,
                        transform=to_SSP, synapse=None)
