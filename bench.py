@@ -75,7 +75,12 @@ def build(args):
         p = Probe(slam.pathintegrator.output, synapse=0.05)
 
     t0 = time.time()
-    sim = Simulator(net, seed=seed, scan_unroll=args.scan_unroll)
+    mm = None
+    if args.bf16:
+        import jax.numpy as jnp
+        mm = jnp.bfloat16
+    sim = Simulator(net, seed=seed, scan_unroll=args.scan_unroll,
+                    matmul_dtype=mm)
     log(f"build: {time.time() - t0:.1f}s")
     n_neurons = sum((be.k * be.n if be.batched else be.n)
                     for be in sim.model.ensembles)
@@ -156,6 +161,8 @@ def main():
     ap.add_argument("--baseline-steps", type=int, default=15)
     ap.add_argument("--scan-unroll", type=int, default=8)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 matmul inputs (params), f32 accumulation")
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 

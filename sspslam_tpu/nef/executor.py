@@ -63,11 +63,32 @@ def build_params(model: Model):
     return {"ens": enc_params, "conn": conn_const, "probe": probe_const}
 
 
-def make_step_fn(model: Model, dtype=jnp.float32):
-    """Returns ``step(state, xs, params) -> (state, emits)``."""
+def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
+    """Returns ``step(state, xs, params) -> (state, emits)``.
+
+    ``matmul_dtype``: optional reduced precision (jnp.bfloat16) for the
+    encoder/decoder/weight matmul INPUTS (accumulation stays float32 via
+    preferred_element_type).  Parameter reads dominate the per-step HBM
+    traffic of large models; bf16 params halve it.  State, filters and
+    learned weights remain float32."""
     dt = model.dt
     filt_coeffs = [(a, b) for (_shape, a, b) in model.filter_specs]
     cascade = model.filter_cascade  # Alpha synapses: out slot -> hidden slot
+    mm = matmul_dtype
+
+    def cast(a):
+        return a.astype(mm) if mm is not None else a
+
+    def matmul(a, b):
+        if mm is None:
+            return a @ b
+        return jnp.matmul(cast(a), cast(b), preferred_element_type=dtype)
+
+    def ein(spec, a, b):
+        if mm is None:
+            return jnp.einsum(spec, a, b)
+        return jnp.einsum(spec, cast(a), cast(b),
+                          preferred_element_type=dtype)
 
     # incoming connections per unit
     node_in: Dict[int, list] = {}
@@ -111,11 +132,11 @@ def make_step_fn(model: Model, dtype=jnp.float32):
                 return v
             act = sig_act[bc.pre.index]
             if bc.pre_kind in ("ens", "ens_view"):
-                return act @ decoders_of(bc)
+                return matmul(act, decoders_of(bc))
             if bc.pre_kind == "ea_elem":
-                return act[bc.ea_elem_index] @ decoders_of(bc)
+                return matmul(act[bc.ea_elem_index], decoders_of(bc))
             if bc.pre_kind == "ea_batch":
-                return jnp.einsum("kn,knd->kd", act, decoders_of(bc))
+                return ein("kn,knd->kd", act, decoders_of(bc))
             if bc.pre_kind == "neurons":
                 if bc.ea_elem_index is not None:  # fused-group element
                     return act[bc.ea_elem_index]
@@ -133,12 +154,12 @@ def make_step_fn(model: Model, dtype=jnp.float32):
             if bc.weights is not None:
                 W = conn_const[str(bc.index)]["W"]
                 if bc.full_weights:  # neuron->neuron currents (solver_weights)
-                    v = (jnp.einsum("knm,km->kn", W, v) if W.ndim == 3
-                         else W @ v)
+                    v = (ein("knm,km->kn", W, v) if W.ndim == 3
+                         else matmul(W, v))
                 elif W.ndim == 3:  # batched input transforms (k, dim, s)
-                    v = jnp.einsum("kds,s->kd", W, v)
+                    v = ein("kds,s->kd", W, v)
                 else:
-                    v = W @ v
+                    v = matmul(W, v)
             elif bc.scalar_weight != 1.0:
                 v = bc.scalar_weight * v
             return v
@@ -213,9 +234,9 @@ def make_step_fn(model: Model, dtype=jnp.float32):
                      if be.voja_conn_index is not None else p["scaled_encoders"])
                 x = gather_ens_input(be)
                 if be.batched:
-                    J = jnp.einsum("knd,kd->kn", E, x) + p["bias"]
+                    J = ein("knd,kd->kn", E, x) + p["bias"]
                 else:
-                    J = E @ x + p["bias"]
+                    J = matmul(E, x) + p["bias"]
                 for bc in ens_cur.get(be.index, []):
                     v = conn_output(bc)
                     if bc.post_elem_index is not None:  # fused-group element
@@ -286,7 +307,7 @@ def make_step_fn(model: Model, dtype=jnp.float32):
                 act = sig_act[bp.target.index]
                 if bp.elem_index is not None:
                     act = act[bp.elem_index]
-                v = act @ probe_const[str(bp.index)]["D"]
+                v = matmul(act, probe_const[str(bp.index)]["D"])
             elif bp.kind == "activities":
                 v = sig_act[bp.target.index]
                 if bp.elem_index is not None:

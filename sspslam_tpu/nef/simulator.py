@@ -54,7 +54,8 @@ class Simulator:
     def __init__(self, network: Network, dt: float = 0.001,
                  seed: Optional[int] = None, default_neuron_type=None,
                  progress: bool = False, dtype=jnp.float32, mesh=None,
-                 scan_unroll: int = 4, fuse_ensembles: bool = True):
+                 scan_unroll: int = 4, fuse_ensembles: bool = True,
+                 matmul_dtype=None):
         _enable_compilation_cache()
         self.scan_unroll = scan_unroll
         self.dt = float(dt)
@@ -62,7 +63,8 @@ class Simulator:
         self.model: Model = build(network, dt=dt, seed=seed,
                                   default_neuron_type=default_neuron_type,
                                   fuse_ensembles=fuse_ensembles)
-        self._step_fn = make_step_fn(self.model, dtype=dtype)
+        self._step_fn = make_step_fn(self.model, dtype=dtype,
+                                     matmul_dtype=matmul_dtype)
         # device-resident once: passing host arrays would re-transfer the
         # whole parameter set on every segment call
         self.params = jax.device_put(build_params(self.model))
