@@ -144,6 +144,55 @@ def bench_pi(args, fast: bool):
         "value": round(sps, 1), "unit": "steps/s", "vs_baseline": None}))
 
 
+def bench_batched(args, sim):
+    """Aggregate throughput of B data-parallel episodes of the full SLAM
+    model (scan-of-vmapped-step lowering, parallel/trials.py)."""
+    import jax
+    import jax.numpy as jnp
+    B = args.batch
+    step = sim._step_fn
+    params = jax.device_put(sim.params)
+    vstep = jax.vmap(step, in_axes=(0, 0, None))
+    seg = args.segment_steps
+    unroll = max(1, min(args.scan_unroll, seg))
+
+    def scan_fn(state, xs):
+        def body(c, x):
+            return vstep(c, x, params)
+        return jax.lax.scan(body, state, xs, unroll=unroll)
+
+    fn = jax.jit(scan_fn)
+    inputs = sim._tabulate_inputs(seg)
+    xs = [jnp.asarray(np.broadcast_to(
+        np.asarray(c, np.float32)[:, None], (seg, B) + c.shape[1:]).copy())
+        for c in inputs]
+    state0 = jax.tree_util.tree_map(
+        lambda x: np.broadcast_to(np.asarray(x), (B,) + np.shape(x)).copy(),
+        sim.model.initial_state())
+    t0 = time.time()
+    state, _ = fn(state0, xs)
+    jax.block_until_ready(state)
+    log(f"batched compile+first: {time.time() - t0:.1f}s")
+    n_chain = max(1, args.timed_steps // seg)
+    rates = []
+    for rep in range(args.reps):
+        t0 = time.time()
+        s = state0
+        for _ in range(n_chain):
+            s, _e = fn(s, xs)
+        jax.block_until_ready(s)
+        el = time.time() - t0
+        rates.append(B * n_chain * seg / el)
+        log(f"batched rep {rep}: {rates[-1]:.0f} agg steps/s")
+    agg = float(np.median(rates))
+    print(json.dumps({
+        "metric": f"SLAMNetwork {B}-episode data-parallel aggregate "
+                  f"sim-steps/s/chip at dt=1ms (ssp_dim={args.ssp_dim})",
+        "value": round(agg, 1), "unit": "steps/s", "vs_baseline": None,
+        "rep_range": [round(min(rates), 1), round(max(rates), 1)],
+        "n_reps": args.reps}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=["slam", "pi", "pi-fast"],
@@ -163,6 +212,8 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 matmul inputs (params), f32 accumulation")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="bench B data-parallel SLAM episodes (aggregate)")
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -174,6 +225,10 @@ def main():
         return
 
     sim, probe, space, path = build(args)
+
+    if args.batch > 1:
+        bench_batched(args, sim)
+        return
 
     # one fixed scan segment length, compiled once and reused
     seg = args.segment_steps

@@ -42,7 +42,10 @@ def main():
                                           max_steps=49999)
     ssp_space = make_space(args, domain_dim, radius=radius)
     d = ssp_space.ssp_dim
-    real_ssp = ssp_space.encode(path)
+    # encode only rows actually consumed (init clamp + strided error eval);
+    # a full-path encode is ~T*d^2 host FLOPs and dominates start-up for
+    # long trajectories
+    real_init = ssp_space.encode(path[:60])
 
     scale_fac = 1 / np.max(np.abs(ssp_space.phase_matrix @ vels.T))
     vels_scaled = vels * scale_fac
@@ -64,11 +67,10 @@ def main():
             vel_p = Probe(vel_input, synapse=vel_syn)
         else:
             vel_syn = None
-            vel_input = Node(lambda t: vels_scaled[
-                min(int((t - dt) / dt), pathlen - 1)], label="vel_input")
+            from sspslam_tpu.nef import TimeTable
+            vel_input = Node(TimeTable(vels_scaled, dt), label="vel_input")
 
-        init_state = Node(lambda t: real_ssp[min(int((t - dt) / dt),
-                                                 pathlen - 1)]
+        init_state = Node(lambda t: real_init[min(int((t - dt) / dt), 59)]
                           if t < 0.05 else np.zeros(d))
         pathintegrator = PathIntegration(ssp_space, args.pi_n_neurons, tau,
                                          scaling_factor=scale_fac,
@@ -100,7 +102,7 @@ def main():
     pi_sim_out = pi_out_full[::skip]
     ts = dt * np.arange(1, pathlen + 1)[::skip]
     path_s = path[::skip]
-    real_s = real_ssp[::skip]
+    real_s = ssp_space.encode(path[::skip])
     sim_path_est = decode_output(ssp_space, pi_sim_out, domain_dim,
                                  grid=100 if domain_dim < 3 else 50)
     pi_sims = np.sum(pi_sim_out * real_s, axis=1) / np.maximum(

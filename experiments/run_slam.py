@@ -65,7 +65,10 @@ def main():
 
     ssp_space = make_space(args, domain_dim, radius=radius)
     d = ssp_space.ssp_dim
-    real_ssp = ssp_space.encode(path)
+    # encode only rows actually consumed (init clamp + strided error eval);
+    # a full-path encode is ~T*d^2 host FLOPs and dominates start-up for
+    # long trajectories
+    real_init = ssp_space.encode(path[:60])
     landmark_ssps = ssp_space.encode(obj_locs)
     lm_space = sspslam_tpu.SPSpace(n_landmarks, d, seed=args.seed)
 
@@ -88,8 +91,7 @@ def main():
         else:
             vel_syn = None
             vel_input = Node(velocity_func, label="vel_input")
-        init_state = Node(lambda t: real_ssp[min(int((t - dt) / dt),
-                                                 pathlen - 1)]
+        init_state = Node(lambda t: real_init[min(int((t - dt) / dt), 59)]
                           if t < 0.05 else np.zeros(d), label="init_state")
         landmark_vec = Node(landmark_vecssp_func, label="lm_vecssp_input")
         landmark_id = Node(landmark_sp_func, label="lm_sp_input")
@@ -158,7 +160,7 @@ def main():
     slam_sim_out = slam_out_full[::skip]
     ts = dt * np.arange(1, pathlen + 1)[::skip]
     path_s = path[::skip]
-    real_s = real_ssp[::skip]
+    real_s = ssp_space.encode(path[::skip])
     sim_path_est = decode_output(ssp_space, slam_sim_out, domain_dim)
     slam_sims = np.sum(slam_sim_out * real_s, axis=1) / np.maximum(
         1e-6, np.linalg.norm(slam_sim_out, axis=1))

@@ -58,7 +58,10 @@ def main():
 
     ssp_space = make_space(args, domain_dim, radius=radius)
     d = ssp_space.ssp_dim
-    real_ssp = ssp_space.encode(path)
+    # encode only the rows actually consumed (init clamp + strided error
+    # eval) — a full-path encode is ~T*d^2 host FLOPs and dominated start-up
+    # for long trajectories
+    real_init = ssp_space.encode(path[:60])
     lm_space = sspslam_tpu.SPSpace(args.n_landmarks, d, seed=args.seed)
 
     if args.vel_noise > 0:
@@ -71,8 +74,7 @@ def main():
 
     with Network(seed=args.seed) as model:
         vel_input = Node(velocity_func, label="vel_input")
-        init_state = Node(lambda t: real_ssp[min(int((t - dt) / dt),
-                                                 pathlen - 1)]
+        init_state = Node(lambda t: real_init[min(int((t - dt) / dt), 59)]
                           if t < 0.05 else np.zeros(d), label="init_state")
         view = Node(landmark_func, label="lm_input")
         is_landmark = Node(is_landmark_in_view, label="lm_in_view_input")
@@ -116,7 +118,7 @@ def main():
     slam_sim_out = slam_out_full[::skip]
     ts = dt * np.arange(1, pathlen + 1)[::skip]
     path_s = path[::skip]
-    real_s = real_ssp[::skip]
+    real_s = ssp_space.encode(path[::skip])
     sim_path_est = decode_output(ssp_space, slam_sim_out, domain_dim)
     slam_sims = np.sum(slam_sim_out * real_s, axis=1) / np.maximum(
         1e-6, np.linalg.norm(slam_sim_out, axis=1))

@@ -148,16 +148,23 @@ def get_slamview_input_functions(ssp_space, lm_space, velocity_data,
     mask = dists < view_rad
     any_in_view = mask.any(axis=1)
 
-    # bound view vector per timestep: sum_i SP_i * phi(vec_i), normalised
-    all_ssps = np.asarray(ssp_space.encode(
-        vec_to_landmarks_data.reshape(-1, domain_dim))).reshape(
-        pathlen, n_landmarks, d)
-    bound = np.stack([
-        np.asarray(ssp_space.bind(
-            np.tile(landmark_sps[l][None, :], (pathlen, 1)),
-            all_ssps[:, l, :]))
-        for l in range(n_landmarks)], axis=1)          # (T, L, d)
-    views = np.einsum("tl,tld->td", mask, bound)
+    # bound view per timestep: sum_l mask_tl SP_l (*) phi(x_l - x_t).
+    # FPE additivity (phi(a - b) = phi(a) (*) phi(-b), exact) factors this as
+    #   phi(x_0 - x_t) (*) sum_l mask_tl [SP_l (*) phi(x_l - x_0)]
+    # (x_0 = position at t=0): the landmark constants bind ONCE, and the
+    # per-timestep work is one masked matmul + one row-wise bind + one
+    # encode — instead of T*L encodes and L full-length binds, which
+    # dominated wall time for long trajectories (60 s for the two-rooms
+    # path).  Algebraically identical to the reference's per-landmark loop
+    # (slam_view.py:383-392).
+    C = np.asarray(ssp_space.bind(
+        landmark_sps,
+        np.asarray(ssp_space.encode(vec_to_landmarks_data[0]))))   # (L, d)
+    neg_y = (vec_to_landmarks_data[:, 0, :]
+             - vec_to_landmarks_data[0, 0, :])                     # x_0 - x_t
+    phi_neg = np.asarray(ssp_space.encode(neg_y))                  # (T, d)
+    s = mask.astype(np.float64) @ C                                # (T, d)
+    views = np.asarray(ssp_space.bind(phi_neg, s))
     norms = np.linalg.norm(views, axis=1, keepdims=True)
     views = np.where(norms > 1e-8, views / np.maximum(norms, 1e-8), views)
 
