@@ -46,19 +46,27 @@ def build_params(model: Model):
             "bias": np.asarray(be.bias, np.float32),
             "gain": np.asarray(be.gain, np.float32),
         })
+    def _f32(x):
+        # device-resident solver outputs (jax arrays) stay on device — a
+        # np.asarray here would serialise a device->host->device round trip
+        # per parameter over the accelerator tunnel
+        if isinstance(x, np.ndarray) or np.isscalar(x):
+            return np.asarray(x, np.float32)
+        return x.astype(jnp.float32)
+
     conn_const = {}
     for bc in model.connections:
         d = {}
         if bc.weights is not None:
-            d["W"] = np.asarray(bc.weights, np.float32)
+            d["W"] = _f32(bc.weights)
         if bc.decoders is not None and bc.learned_slot is None:
-            d["D"] = np.asarray(bc.decoders, np.float32)
+            d["D"] = _f32(bc.decoders)
         conn_const[str(bc.index)] = d
     probe_const = {}
     for bp in model.probes:
         d = {}
         if bp.decoders is not None:
-            d["D"] = np.asarray(bp.decoders, np.float32)
+            d["D"] = _f32(bp.decoders)
         probe_const[str(bp.index)] = d
     return {"ens": enc_params, "conn": conn_const, "probe": probe_const}
 

@@ -89,6 +89,16 @@ class NumpyStepper:
                 self.ens_in.setdefault(bc.post.index, []).append(bc)
             elif bc.post_kind == "neurons":
                 self.ens_cur.setdefault(bc.post.index, []).append(bc)
+        # decoders may be device-resident jax arrays (nef/solvers.py device
+        # solve paths); materialise host float32 copies ONCE — converting
+        # inside the per-step loop would serialise a device round trip per
+        # connection per dt
+        self._np_dec: Dict[int, np.ndarray] = {
+            bc.index: np.asarray(bc.decoders, np.float32)
+            for bc in model.connections if bc.decoders is not None}
+        self._np_probe_dec: Dict[int, np.ndarray] = {
+            bp.index: np.asarray(bp.decoders, np.float32)
+            for bp in model.probes if bp.decoders is not None}
 
     def _initial_state(self):
         m = self.model
@@ -153,7 +163,7 @@ class NumpyStepper:
         def decoders_of(bc):
             if bc.learned_slot is not None:
                 return learned[bc.learned_slot]
-            return bc.decoders.astype(np.float32)
+            return self._np_dec[bc.index]
 
         def pre_value(bc: BuiltConnection):
             if bc.pre_kind == "node":
@@ -315,14 +325,15 @@ class NumpyStepper:
                 act = sig_act[bp.target.index]
                 if bp.elem_index is not None:
                     act = act[bp.elem_index]
-                v = act @ bp.decoders.astype(np.float32)
+                v = act @ self._np_probe_dec[bp.index]
             elif bp.kind == "activities":
                 v = sig_act[bp.target.index]
                 if bp.elem_index is not None:
                     v = v[bp.elem_index]
             elif bp.kind == "weights":
                 D = (learned[bp.target.learned_slot]
-                     if bp.target.learned_slot else bp.target.decoders)
+                     if bp.target.learned_slot
+                     else self._np_dec[bp.target.index])
                 v = D.T if D.ndim == 2 else D
             elif bp.kind == "scaled_encoders":
                 v = learned[bp.target.learned_slot]

@@ -25,42 +25,62 @@ DEVICE_SOLVE_MIN_NEURONS = 2048
 DEVICE_SOLVE_MIN_BATCH_ELEMS = 5_000_000
 
 
+#: jitted solver pipelines, keyed by (kind, neuron_type identity, reg) — a
+#: fresh ``@jax.jit`` per call would recompile the identical program for
+#: every ensemble group in the model
+_jit_solver_cache: dict = {}
+
+
+def _neuron_key(neuron_type):
+    return (type(neuron_type).__name__,
+            tuple(sorted(vars(neuron_type).items())))
+
+
 def solve_decoders_on_device(neuron_type, scaled_encoders, bias, eval_points,
-                             targets, reg: float = 0.1) -> np.ndarray:
+                             targets, reg: float = 0.1):
     """Full decoder-solve pipeline on the accelerator for LARGE ensembles:
     currents, rate curves, the (n, n) normal equations and the Cholesky
     factorisation all run on device in float32 (the reference's accelerated
-    backend solves in f32 as well); only encoders up / decoders down cross
-    the host boundary.  Unlocks the BASELINE scaled sweep (1e4-neuron
-    ensembles) on a single-core host."""
+    backend solves in f32 as well); only encoders/eval points go UP — the
+    solved decoders stay device-resident (returned as a jax array) so they
+    never cross the host boundary at all: the compiled executor consumes
+    them in place, and anything host-side (interpreter, checkpoints)
+    converts lazily.  Unlocks the BASELINE scaled sweep (1e4-neuron
+    ensembles) on a single-core host and keeps build time off the
+    accelerator-tunnel bandwidth."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def _solve(E, b, ep, Y):
-        A = neuron_type.rates(ep @ E.T + b[None, :])          # (m, n)
-        m = A.shape[0]
-        sigma = reg * jnp.max(A)
-        G = A.T @ A + m * sigma**2 * jnp.eye(A.shape[1], dtype=A.dtype)
-        B = A.T @ Y
-        L = jnp.linalg.cholesky(G)
-        z = jax.scipy.linalg.solve_triangular(L, B, lower=True)
-        return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+    key = ("single", _neuron_key(neuron_type), float(reg))
+    _solve = _jit_solver_cache.get(key)
+    if _solve is None:
+        @jax.jit
+        def _solve(E, b, ep, Y):
+            A = neuron_type.rates(ep @ E.T + b[None, :])      # (m, n)
+            m = A.shape[0]
+            sigma = reg * jnp.max(A)
+            G = A.T @ A + m * sigma**2 * jnp.eye(A.shape[1], dtype=A.dtype)
+            B = A.T @ Y
+            L = jnp.linalg.cholesky(G)
+            z = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+            return jax.scipy.linalg.solve_triangular(L.T, z, lower=False)
+        _jit_solver_cache[key] = _solve
 
-    out = _solve(jnp.asarray(scaled_encoders, jnp.float32),
-                 jnp.asarray(bias, jnp.float32),
-                 jnp.asarray(eval_points, jnp.float32),
-                 jnp.asarray(targets, jnp.float32))
-    return np.asarray(out, dtype=np.float64)
+    return _solve(jnp.asarray(scaled_encoders, jnp.float32),
+                  jnp.asarray(bias, jnp.float32),
+                  jnp.asarray(eval_points, jnp.float32),
+                  jnp.asarray(targets, jnp.float32))
 
 
 def solve_decoders_batched_on_device(neuron_type, scaled_encoders, bias,
                                      eval_points, targets,
-                                     reg: float = 0.1) -> np.ndarray:
+                                     reg: float = 0.1):
     """Batched (EnsembleArray) decoder solve fully on the accelerator:
     currents, rate curves, per-element normal equations and Cholesky solves.
-    Only encoders/bias/eval-points go up and the (k, n, d) decoders come
-    down.  Numerics match :func:`lstsq_l2_batched` (f32, per-element sigma).
+    Only encoders/bias/eval-points go up; the (k, n, d) decoders stay
+    device-resident (jax array return — see
+    :func:`solve_decoders_on_device`).  Numerics match
+    :func:`lstsq_l2_batched` (f32, per-element sigma).
 
     scaled_encoders (k, n, dim), bias (k, n), eval_points (P, dim),
     targets (P, d) or (k, P, d)  ->  (k, n, d)
@@ -68,32 +88,35 @@ def solve_decoders_batched_on_device(neuron_type, scaled_encoders, bias,
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def _solve(E, b, ep, Y):
-        J = (jnp.einsum("kpd,knd->kpn", ep, E) if ep.ndim == 3
-             else jnp.einsum("pd,knd->kpn", ep, E)) + b[:, None, :]
-        A = neuron_type.rates(J)                              # (k, P, n)
-        m = A.shape[1]
-        n = A.shape[2]
-        sigma = reg * jnp.max(A, axis=(1, 2))                 # (k,)
-        G = jnp.einsum("kpn,kpm->knm", A, A) + (
-            m * sigma[:, None, None] ** 2
-            * jnp.eye(n, dtype=A.dtype)[None])
-        B = jnp.einsum("kpn,kpd->knd", A, Y)
-        L = jnp.linalg.cholesky(G)
-        z = jax.scipy.linalg.solve_triangular(L, B, lower=True)
-        return jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(L, -1, -2), z, lower=False)
+    key = ("batched", _neuron_key(neuron_type), float(reg))
+    _solve = _jit_solver_cache.get(key)
+    if _solve is None:
+        @jax.jit
+        def _solve(E, b, ep, Y):
+            J = (jnp.einsum("kpd,knd->kpn", ep, E) if ep.ndim == 3
+                 else jnp.einsum("pd,knd->kpn", ep, E)) + b[:, None, :]
+            A = neuron_type.rates(J)                          # (k, P, n)
+            m = A.shape[1]
+            n = A.shape[2]
+            sigma = reg * jnp.max(A, axis=(1, 2))             # (k,)
+            G = jnp.einsum("kpn,kpm->knm", A, A) + (
+                m * sigma[:, None, None] ** 2
+                * jnp.eye(n, dtype=A.dtype)[None])
+            B = jnp.einsum("kpn,kpd->knd", A, Y)
+            L = jnp.linalg.cholesky(G)
+            z = jax.scipy.linalg.solve_triangular(L, B, lower=True)
+            return jax.scipy.linalg.solve_triangular(
+                jnp.swapaxes(L, -1, -2), z, lower=False)
+        _jit_solver_cache[key] = _solve
 
     k = scaled_encoders.shape[0]
     Y = np.asarray(targets, np.float32)
     if Y.ndim == 2:
         Y = np.broadcast_to(Y, (k,) + Y.shape)
-    out = _solve(jnp.asarray(scaled_encoders, jnp.float32),
-                 jnp.asarray(bias, jnp.float32),
-                 jnp.asarray(eval_points, jnp.float32),
-                 jnp.asarray(Y))
-    return np.asarray(out, dtype=np.float64)
+    return _solve(jnp.asarray(scaled_encoders, jnp.float32),
+                  jnp.asarray(bias, jnp.float32),
+                  jnp.asarray(eval_points, jnp.float32),
+                  jnp.asarray(Y))
 
 
 def lstsq_l2(activities: np.ndarray, targets: np.ndarray, reg: float = 0.1):
