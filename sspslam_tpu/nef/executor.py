@@ -32,41 +32,51 @@ def _contig(idx):
     return None
 
 
-def build_params(model: Model):
+def build_params(model: Model, matmul_dtype=None):
     """Parameter pytree passed to the step as a traced argument (NOT
     embedded as jit constants) so the persistent compilation cache hits
-    across different seeds/data of the same model shape.  Host float32
-    ndarrays; they become device-resident on the first jitted call."""
+    across different seeds/data of the same model shape.  They become
+    device-resident on the first jitted call (device-solved decoders
+    already are and stay there).
+
+    ``matmul_dtype`` (e.g. jnp.bfloat16) STORES the matmul-side parameters
+    (encoders / decoders / transforms) in that dtype.  The step is
+    HBM-bandwidth-bound at reference scale (~20 MB of parameter reads per
+    dt, dominated by the VCO decoder bank) — casting inside the step only
+    changes the matmul input dtype while the HBM read stays f32; storing
+    in bf16 actually halves the traffic.  Bias/gain and all learned
+    (PES/Voja) state stay float32."""
     import numpy as np
+
+    def _p(x):
+        # device-resident solver outputs (jax arrays) stay on device — a
+        # np.asarray here would serialise a device->host->device round trip
+        # per parameter over the accelerator tunnel
+        target = matmul_dtype if matmul_dtype is not None else np.float32
+        if isinstance(x, np.ndarray) or np.isscalar(x):
+            return np.asarray(x).astype(target)
+        return x.astype(target)
 
     enc_params = []
     for be in model.ensembles:
         enc_params.append({
-            "scaled_encoders": np.asarray(be.scaled_encoders, np.float32),
+            "scaled_encoders": _p(be.scaled_encoders),
             "bias": np.asarray(be.bias, np.float32),
             "gain": np.asarray(be.gain, np.float32),
         })
-    def _f32(x):
-        # device-resident solver outputs (jax arrays) stay on device — a
-        # np.asarray here would serialise a device->host->device round trip
-        # per parameter over the accelerator tunnel
-        if isinstance(x, np.ndarray) or np.isscalar(x):
-            return np.asarray(x, np.float32)
-        return x.astype(jnp.float32)
-
     conn_const = {}
     for bc in model.connections:
         d = {}
         if bc.weights is not None:
-            d["W"] = _f32(bc.weights)
+            d["W"] = _p(bc.weights)
         if bc.decoders is not None and bc.learned_slot is None:
-            d["D"] = _f32(bc.decoders)
+            d["D"] = _p(bc.decoders)
         conn_const[str(bc.index)] = d
     probe_const = {}
     for bp in model.probes:
         d = {}
         if bp.decoders is not None:
-            d["D"] = _f32(bp.decoders)
+            d["D"] = _p(bp.decoders)
         probe_const[str(bp.index)] = d
     return {"ens": enc_params, "conn": conn_const, "probe": probe_const}
 

@@ -67,7 +67,8 @@ class Simulator:
                                      matmul_dtype=matmul_dtype)
         # device-resident once: passing host arrays would re-transfer the
         # whole parameter set on every segment call
-        self.params = jax.device_put(build_params(self.model))
+        self.params = jax.device_put(
+            build_params(self.model, matmul_dtype=matmul_dtype))
         self._scan_cache: Dict[int, callable] = {}
         self.mesh = mesh
         self.state = self.model.initial_state()

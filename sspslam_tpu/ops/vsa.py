@@ -210,14 +210,28 @@ def similarity(vectors: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.einsum("md,...d->...m", vectors, v)
 
 
-def cleanup_from_set(sample_ssps: jax.Array, v: jax.Array) -> jax.Array:
+def cleanup_from_set(sample_ssps: jax.Array, v: jax.Array,
+                     sim_dtype=jnp.bfloat16) -> jax.Array:
     """Replace ``v`` with the most similar vector from ``sample_ssps``.
 
     The on-device equivalent of the clean-up node at reference
     slam.py:212-215 — a single (m, d) @ (d,) matvec plus argmax, which is
     cheap on the MXU/VPU instead of a host callback.
+
+    The similarity matmul runs in ``sim_dtype`` (default bfloat16): the
+    sample bank is the single largest constant read in the SLAM step
+    (samples_per_dim^2 x d, ~4 MB at reference scale, re-read every dt) and
+    the read is bandwidth-bound; only the ARGMAX of the similarities is
+    consumed, so reduced precision merely risks a tie-flip to an adjacent
+    grid cell, far inside the model's noise floor.  The returned vector is
+    gathered from the full-precision bank.  Pass ``sim_dtype=None`` to
+    compare in the input dtype.
     """
-    sims = jnp.einsum("md,...d->...m", sample_ssps, v)
+    if sim_dtype is not None:
+        sims = jnp.einsum("md,...d->...m", sample_ssps.astype(sim_dtype),
+                          v.astype(sim_dtype))
+    else:
+        sims = jnp.einsum("md,...d->...m", sample_ssps, v)
     best = jnp.argmax(sims, axis=-1)
     return jnp.take(sample_ssps, best, axis=0)
 
