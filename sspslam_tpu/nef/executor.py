@@ -32,6 +32,22 @@ def _contig(idx):
     return None
 
 
+def _elem_decode_groups(model: Model):
+    """Static (non-learned) per-element decodes off the SAME batched group
+    with the same output width, e.g. the memory/error/recall taps of the
+    fused SLAM trio — each is a separate (1, n) @ (n, d) matvec per step;
+    batched together they lower as ONE (g, n) x (g, n, d) einsum (the step
+    is op-latency-bound, not FLOP-bound)."""
+    import numpy as np
+    groups = {}
+    for bc in model.connections:
+        if (bc.pre_kind == "ea_elem" and bc.decoders is not None
+                and bc.learned_slot is None):
+            key = f"{bc.pre.index}_{int(np.shape(bc.decoders)[-1])}"
+            groups.setdefault(key, []).append(bc)
+    return {k: v for k, v in groups.items() if len(v) >= 2}
+
+
 def build_params(model: Model, matmul_dtype=None):
     """Parameter pytree passed to the step as a traced argument (NOT
     embedded as jit constants) so the persistent compilation cache hits
@@ -78,7 +94,17 @@ def build_params(model: Model, matmul_dtype=None):
         if bp.decoders is not None:
             d["D"] = _p(bp.decoders)
         probe_const[str(bp.index)] = d
-    return {"ens": enc_params, "conn": conn_const, "probe": probe_const}
+    # batched per-element decode stacks (g, n, d); the members keep their
+    # individual "D" entries too (read only by weights probes, never in the
+    # hot step path — XLA dead-code-eliminates unused inputs)
+    dstack = {}
+    for key, bcs in _elem_decode_groups(model).items():
+        mats = [_p(bc.decoders) for bc in bcs]
+        dstack[key] = (jnp.stack(mats)
+                       if any(not isinstance(m, np.ndarray) for m in mats)
+                       else np.stack(mats))
+    return {"ens": enc_params, "conn": conn_const, "probe": probe_const,
+            "dstack": dstack}
 
 
 def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
@@ -123,6 +149,12 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
 
     input_index = {id(n): i for i, n in enumerate(model.input_nodes)}
 
+    # batched per-element decode groups: bc.index -> (group key, row)
+    _elem_groups = _elem_decode_groups(model)
+    _elem_pos = {bc.index: (key, i)
+                 for key, bcs in _elem_groups.items()
+                 for i, bc in enumerate(bcs)}
+
     def step(state, xs, params):
         enc_params = params["ens"]
         conn_const = params["conn"]
@@ -134,6 +166,18 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
         sig_node: Dict[int, jax.Array] = {}
         sig_act: Dict[int, jax.Array] = {}
         new_neurons = list(state["neurons"])
+        dec_cache: Dict[str, jax.Array] = {}
+
+        def elem_decode(bc):
+            """Row of the batched (g, n) x (g, n, d) group decode."""
+            key, i = _elem_pos[bc.index]
+            if key not in dec_cache:
+                bcs = _elem_groups[key]
+                act = sig_act[bc.pre.index]
+                acts = jnp.stack([act[b.ea_elem_index] for b in bcs])
+                dec_cache[key] = ein("gn,gnd->gd", acts,
+                                     params["dstack"][key])
+            return dec_cache[key][i]
 
         def decoders_of(bc):
             if bc.learned_slot is not None:
@@ -152,6 +196,8 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
             if bc.pre_kind in ("ens", "ens_view"):
                 return matmul(act, decoders_of(bc))
             if bc.pre_kind == "ea_elem":
+                if bc.index in _elem_pos:
+                    return elem_decode(bc)
                 return matmul(act[bc.ea_elem_index], decoders_of(bc))
             if bc.pre_kind == "ea_batch":
                 return ein("kn,knd->kd", act, decoders_of(bc))
