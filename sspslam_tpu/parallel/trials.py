@@ -34,13 +34,18 @@ __all__ = ["run_batched_episodes"]
 
 def run_batched_episodes(sim: Simulator, input_tables: List[np.ndarray],
                          n_steps: int, mesh=None, axis: str = "data",
-                         unroll: int = 4):
+                         model_axis: str = "model", unroll: int = 4):
     """Run B episodes in parallel.
 
     sim : a built Simulator (its current state is the common starting state).
     input_tables : one (B, n_steps, size) array per tabulated input node, in
         ``sim.model.input_nodes`` order.
     mesh : optional Mesh with a ``data`` axis to shard the batch over chips.
+        If the mesh ALSO has a ``model_axis``, data and model parallelism
+        compose in one program: episodes shard over ``axis`` while each
+        episode's carry shards over ``model_axis`` (VCO bank / neuron /
+        learned-weight axes, exactly as in the single-episode
+        ``sharding.state_shardings``) — the dp x tp layout of a pod run.
 
     Returns {probe_object: (B, n_steps, ...)} for dense probes, and leaves
     ``sim`` untouched.
@@ -59,11 +64,17 @@ def run_batched_episodes(sim: Simulator, input_tables: List[np.ndarray],
                             unroll=max(1, min(unroll, n_steps)))
 
     if mesh is not None:
-        from .sharding import replicated
+        from .sharding import replicated, state_shardings
         from jax.sharding import NamedSharding, PartitionSpec as P
-        batch_sh = NamedSharding(mesh, P(axis))
-        state_sh = jax.tree_util.tree_map(
-            lambda _: batch_sh, sim.model.initial_state())
+        if model_axis in mesh.shape and mesh.shape[model_axis] > 1:
+            # dp x tp: prepend the episode axis to each leaf's model spec
+            base = state_shardings(model, mesh, axis=model_axis)
+            state_sh = jax.tree_util.tree_map(
+                lambda ns: NamedSharding(mesh, P(axis, *ns.spec)), base)
+        else:
+            batch_sh = NamedSharding(mesh, P(axis))
+            state_sh = jax.tree_util.tree_map(
+                lambda _: batch_sh, sim.model.initial_state())
         # time-major xs: batch is axis 1
         xs_sh = [NamedSharding(mesh, P(None, axis))] * len(input_tables)
         params_sh = jax.tree_util.tree_map(lambda _: replicated(mesh),

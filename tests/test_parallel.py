@@ -82,6 +82,25 @@ class TestBatchedEpisodes:
         got = res[p][:, -30:].mean(axis=1)[:, 0]
         assert np.allclose(got, vals[:, 0], atol=0.08)
 
+    def test_batched_with_dp_tp_mesh(self, space):
+        """dp x tp composition: 2-way episode batch x 4-way model shards in
+        one program, matching the unsharded batched run."""
+        mesh = make_mesh(8, axis_names=("data", "model"), shape=(2, 4))
+        bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
+        space = HexagonalSSPSpace(2, ssp_dim=33, seed=0, length_scale=0.3,
+                                  domain_bounds=bounds)  # 16 VCOs: 4-way TP
+        net, p = make_pi_net(space, seed=5)
+        sim = Simulator(net, seed=5)
+        n_steps = 120
+        cols = sim._tabulate_inputs(n_steps)
+        tables = [np.broadcast_to(c, (2,) + c.shape).copy() for c in cols]
+        res2d, _ = run_batched_episodes(sim, tables, n_steps, mesh=mesh)
+        res1d, _ = run_batched_episodes(sim, tables, n_steps)
+        a, b = np.asarray(res2d[p]), np.asarray(res1d[p])
+        assert a.shape == b.shape == (2,) + np.asarray(res1d[p]).shape[1:]
+        assert np.all(np.isfinite(a))
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-4)
+
 
 class TestCheckpoint:
     def test_save_resume_bitexact(self, space, tmp_path):
