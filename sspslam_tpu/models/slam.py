@@ -31,14 +31,24 @@ __all__ = ["SLAMNetwork", "get_slam_input_functions",
            "get_slam_input_functions2", "make_cleanup_fun"]
 
 
-def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100):
+def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100,
+                     sim_dtype=None):
     """Return (cleanup_fun, sample_ssps, sample_points): a jnp-traceable
     clean-up (argmax over a precomputed SSP bank — one matvec on device,
-    replacing the host callback at reference slam.py:212-222)."""
+    replacing the host callback at reference slam.py:212-222).
+
+    ``sim_dtype``: dtype for the similarity matmul (default: bfloat16 via
+    :func:`ops.vsa.cleanup_from_set`; set SSPSLAM_CLEANUP_F32=1 or pass
+    jnp.float32 to compare in full precision)."""
+    import os
     sample_ssps, sample_points = ssp_space.get_sample_pts_and_ssps(samples_per_dim)
     bank = jnp.asarray(sample_ssps, jnp.float32)
+    if sim_dtype is None and os.environ.get("SSPSLAM_CLEANUP_F32"):
+        sim_dtype = jnp.float32
 
     def cleanup_fun(x):
+        if sim_dtype is not None:
+            return vsa.cleanup_from_set(bank, x, sim_dtype=sim_dtype)
         return vsa.cleanup_from_set(bank, x)
 
     return cleanup_fun, sample_ssps, sample_points
@@ -286,11 +296,24 @@ def get_slam_input_functions2(ssp_space, lm_space, velocity_data,
 
     sum_vecs = np.einsum("tl,tln->tn", mask, vec_to_landmarks_data)
     sum_sps = mask.astype(np.float64) @ landmark_sps        # (T, d)
-    # encode each in-view vector then superimpose
-    all_ssps = np.asarray(ssp_space.encode(
-        vec_to_landmarks_data.reshape(-1, domain_dim))).reshape(
-        pathlen, n_landmarks, d)
-    sum_vec_ssps = np.einsum("tl,tld->td", mask, all_ssps)
+    # Masked superposition of the in-view vector SSPs, factorised via FPE
+    # additivity (phi(a+b) = phi(a) (*) phi(b), binding distributes over
+    # addition):  sum_l m_tl phi(x_l - x_t)
+    #           = phi(x_0 - x_t) (*) [m_t @ phi(x_l - x_0)]
+    # i.e. encode L landmark offsets ONCE plus T shift rows, then one
+    # masked matmul and a batched FFT bind — instead of encoding all T*L
+    # displacement points (10^7 at reference scale: minutes of host time
+    # and GBs of intermediates; this is the same factorisation as the
+    # SLAMView adapter).
+    base_ssps = np.asarray(ssp_space.encode(
+        vec_to_landmarks_data[0]))                          # (L, d)
+    shift = np.asarray(ssp_space.encode(
+        vec_to_landmarks_data[:, 0, :]
+        - vec_to_landmarks_data[0, 0, :]))                  # (T, d): x_0-x_t
+    masked_base = mask @ base_ssps                          # (T, d)
+    sum_vec_ssps = np.fft.ifft(
+        np.fft.fft(shift, axis=1) * np.fft.fft(masked_base, axis=1),
+        axis=1).real
 
     from ..nef.processes import TimeTable
     velocity_func = TimeTable(vels_scaled, dt)

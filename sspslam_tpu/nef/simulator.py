@@ -107,13 +107,26 @@ class Simulator:
             cols.append(vals)
         return cols
 
+    def _input_splits(self):
+        """Static column offsets of each input node in the packed xs table."""
+        sizes = [n.size_out for n in self.model.input_nodes]
+        offs = np.cumsum([0] + sizes)
+        return [(int(offs[i]), int(offs[i + 1])) for i in range(len(sizes))]
+
     def _get_scan(self, seg_len: int):
         if seg_len not in self._scan_cache:
             step = self._step_fn
+            splits = self._input_splits()
 
             unroll = max(1, min(self.scan_unroll, seg_len))
 
-            def run_segment(state, xs_cols, params):
+            def run_segment(state, xs_packed, params):
+                # ONE packed (seg, sum_sizes) input arg instead of one arg
+                # per node: each numpy jit argument costs ~1 ms of transfer
+                # dispatch over the accelerator tunnel, per segment.  The
+                # static column split fuses into the scan at zero cost.
+                xs_cols = [xs_packed[:, a:b] for a, b in splits]
+
                 def body(carry, xs):
                     return step(carry, xs, params)
                 # unrolling the scan body amortises per-iteration loop
@@ -124,12 +137,11 @@ class Simulator:
             if self.mesh is not None:
                 from ..parallel.sharding import state_shardings, replicated
                 sh = state_shardings(self.model, self.mesh)
-                n_inputs = len(self.model.input_nodes)
                 rep = replicated(self.mesh)
                 params_sh = jax.tree_util.tree_map(lambda _: rep, self.params)
                 run_segment = jax.jit(
                     run_segment,
-                    in_shardings=(sh, [rep] * n_inputs, params_sh),
+                    in_shardings=(sh, rep, params_sh),
                     donate_argnums=0)
             else:
                 run_segment = jax.jit(run_segment, donate_argnums=0)
@@ -139,37 +151,33 @@ class Simulator:
 
     # ------------------------------------------------------------------
     def preload_inputs(self, n_steps: int) -> None:
-        """Tabulate and device-put the input tables for the next ``n_steps``
-        simulation steps ONCE.  ``run_steps`` then slices the segments on
-        the device (one clamped gather per segment) instead of streaming a
-        host slice per segment — the host->device input transfer otherwise
-        rivals the whole on-device step time at reference scale (~1.2 MB
-        per 1000-step segment over the accelerator tunnel).  Steps past the
-        preloaded horizon repeat the last row, matching
-        :meth:`processes.TimeTable` clamp semantics."""
-        cols = self._tabulate_inputs(n_steps)
-        self._preloaded = jax.device_put([np.asarray(c, np.float32)
-                                          for c in cols])
+        """Tabulate the input tables for the next ``n_steps`` simulation
+        steps ONCE, packed into a single host array.  ``run_steps`` then
+        slices segments out of it (zero-copy host views) instead of
+        re-tabulating per call — the per-step Python-callable loop costs
+        5-10 us/step/node.  Steps past the preloaded horizon repeat the
+        last row, matching :meth:`processes.TimeTable` clamp semantics.
+
+        Design note: an earlier version device_put the tables and carved
+        segments on the device.  On remote-compile backends that made the
+        scan consume committed device arrays, whose compiled executable
+        (layout-specialised) never hit the persistent compilation cache —
+        a 150-600 s fresh compile per process for a ~1 ms/segment saving.
+        Host tables + one packed jit argument per segment keep the scan on
+        the default-layout program (persistently cached) at nearly the
+        same steady-state rate."""
+        pad = self.DEFAULT_SEGMENT_STEPS
+        packed = self._pack_cols(self._tabulate_inputs(n_steps))
+        self._preloaded = np.concatenate(
+            [packed, np.repeat(packed[-1:], pad, axis=0)])
         self._preload_start = self.n_steps
 
-    def _get_scan_preloaded(self, seg_len: int):
-        key = ("preloaded", seg_len)
-        if key not in self._scan_cache:
-            step = self._step_fn
-            unroll = max(1, min(self.scan_unroll, seg_len))
-
-            def run_segment(state, full_cols, start, params):
-                def body(carry, xs):
-                    return step(carry, xs, params)
-                xs_cols = [
-                    jnp.take(c, jnp.clip(start + jnp.arange(seg_len),
-                                         0, c.shape[0] - 1), axis=0)
-                    for c in full_cols]
-                return jax.lax.scan(body, state, xs_cols, length=seg_len,
-                                    unroll=unroll)
-
-            self._scan_cache[key] = jax.jit(run_segment, donate_argnums=0)
-        return self._scan_cache[key]
+    @staticmethod
+    def _pack_cols(cols) -> np.ndarray:
+        if not cols:
+            return np.zeros((0, 0), np.float32)
+        return np.concatenate(
+            [np.asarray(c, np.float32) for c in cols], axis=1)
 
     # ------------------------------------------------------------------
     def run(self, t_sim: float, segment_steps: Optional[int] = None):
@@ -194,23 +202,23 @@ class Simulator:
             else:
                 segment_steps = self.DEFAULT_SEGMENT_STEPS
             segment_steps = min(segment_steps, n_steps)
-        preloaded = (getattr(self, "_preloaded", None) is not None
-                     and self.mesh is None)
-        inputs = None if preloaded else self._tabulate_inputs(n_steps)
+        if getattr(self, "_preloaded", None) is not None:
+            packed = self._preloaded
+            base = self.n_steps - self._preload_start
+        else:
+            packed = self._pack_cols(self._tabulate_inputs(n_steps))
+            base = 0
+        if packed.shape[1] == 0:
+            packed = np.zeros((n_steps + base, 0), np.float32)
 
         done = 0
         t_start = time.time()
         while done < n_steps:
             seg = min(segment_steps, n_steps - done)
-            if preloaded:
-                run_segment = self._get_scan_preloaded(seg)
-                start = np.int32(self.n_steps + done - self._preload_start)
-                self.state, emits = run_segment(self.state, self._preloaded,
-                                                start, self.params)
-            else:
-                xs = [col[done:done + seg] for col in inputs]
-                run_segment = self._get_scan(seg)
-                self.state, emits = run_segment(self.state, xs, self.params)
+            lo = min(base + done, max(0, packed.shape[0] - seg))
+            xs = packed[lo:lo + seg]
+            run_segment = self._get_scan(seg)
+            self.state, emits = run_segment(self.state, xs, self.params)
             for bp in model.probes:
                 if bp.sparse:
                     if (self.n_steps + done + seg) % bp.period_steps == 0:

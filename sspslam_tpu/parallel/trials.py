@@ -122,7 +122,7 @@ def run_seed_sweep(sims, n_steps: int, segment_steps: int = 1000):
     results = []
     for sim in sims:
         run_segment = lead._get_scan(min(segment_steps, n_steps))
-        inputs = sim._tabulate_inputs(n_steps)
+        packed = Simulator._pack_cols(sim._tabulate_inputs(n_steps))
         done = 0
         emits_chunks = {bp.index: [] for bp in sim.model.probes
                         if not bp.sparse}
@@ -131,7 +131,7 @@ def run_seed_sweep(sims, n_steps: int, segment_steps: int = 1000):
             seg = min(segment_steps, n_steps - done)
             if seg != segment_steps:
                 run_segment = lead._get_scan(seg)
-            xs = [col[done:done + seg] for col in inputs]
+            xs = packed[done:done + seg]
             state, emits = run_segment(state, xs, sim.params)
             for k in emits_chunks:
                 emits_chunks[k].append(emits[k])
