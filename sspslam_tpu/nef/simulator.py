@@ -183,25 +183,59 @@ class Simulator:
     def run(self, t_sim: float, segment_steps: Optional[int] = None):
         self.run_steps(int(round(t_sim / self.dt)), segment_steps=segment_steps)
 
+    def compile(self, n_steps: Optional[int] = None,
+                segment_steps: Optional[int] = None) -> None:
+        """Warm the compiled segment program(s) a run of ``n_steps`` will
+        use, WITHOUT advancing the simulation.  On remote-compile backends
+        the first scan compile takes minutes; calling this before the timed
+        region keeps ``run``'s wall time a measurement of simulation, the
+        way the reference's (untimed) nengo build precedes its timed
+        ``sim.run``.  Runs each program once on a throwaway copy of the
+        initial state."""
+        segs = []
+        if segment_steps is None:
+            segment_steps = self._default_segment_steps(
+                n_steps if n_steps is not None else self.DEFAULT_SEGMENT_STEPS)
+        if n_steps is None:
+            segs = [segment_steps]
+        else:
+            segment_steps = min(segment_steps, n_steps)
+            segs = [segment_steps]
+            rem = n_steps % segment_steps
+            if rem:
+                segs.append(rem)
+        width = sum(n.size_out for n in self.model.input_nodes)
+        for seg in segs:
+            run_segment = self._get_scan(seg)
+            state = jax.tree_util.tree_map(
+                lambda x: np.array(x, copy=True),
+                self.model.initial_state())
+            xs = np.zeros((seg, width), np.float32)
+            out_state, _ = run_segment(state, xs, self.params)
+            jax.block_until_ready(out_state)
+
     #: default upper bound on the compiled scan length — scan compile time
     #: grows with length, while the compiled segment is reused across calls
     #: (and across processes via the persistent compilation cache)
     DEFAULT_SEGMENT_STEPS = 1000
 
+    def _default_segment_steps(self, n_steps: int) -> int:
+        sparse = [bp for bp in self.model.probes if bp.sparse]
+        if sparse:
+            segment_steps = math.gcd(*[bp.period_steps for bp in sparse])
+            # keep sparse periods intact but split huge segments into
+            # bounded chunks when the period allows it
+            while (segment_steps > 2 * self.DEFAULT_SEGMENT_STEPS
+                   and segment_steps % 2 == 0):
+                segment_steps //= 2
+        else:
+            segment_steps = self.DEFAULT_SEGMENT_STEPS
+        return min(segment_steps, n_steps)
+
     def run_steps(self, n_steps: int, segment_steps: Optional[int] = None):
         model = self.model
-        sparse = [bp for bp in model.probes if bp.sparse]
         if segment_steps is None:
-            if sparse:
-                segment_steps = math.gcd(*[bp.period_steps for bp in sparse])
-                # keep sparse periods intact but split huge segments into
-                # bounded chunks when the period allows it
-                while (segment_steps > 2 * self.DEFAULT_SEGMENT_STEPS
-                       and segment_steps % 2 == 0):
-                    segment_steps //= 2
-            else:
-                segment_steps = self.DEFAULT_SEGMENT_STEPS
-            segment_steps = min(segment_steps, n_steps)
+            segment_steps = self._default_segment_steps(n_steps)
         if getattr(self, "_preloaded", None) is not None:
             packed = self._preloaded
             base = self.n_steps - self._preload_start
