@@ -33,6 +33,11 @@ def main():
     parser.add_argument("--view-rad", default=0.2, type=float)
     parser.add_argument("--update-thres", default=0.2, type=float)
     parser.add_argument("--shift-rate", default=0.2, type=float)
+    # the reference hardcodes these (run_slam.py:183-184, with a TODO to
+    # expose them); SLAMNetwork's own defaults (voja 5e-4 / pes 1e-2) track
+    # noticeably better over long horizons than the reference CLI's values
+    parser.add_argument("--voja-lr", default=1e-4, type=float)
+    parser.add_argument("--pes-lr", default=5e-3, type=float)
     parser.add_argument("--pi-n-neurons", default=800, type=int)
     parser.add_argument("--mem-n-neurons", default=970, type=int)
     parser.add_argument("--circonv-n-neurons", default=100, type=int)
@@ -113,8 +118,8 @@ def main():
                 args.circonv_n_neurons,
                 tau_pi=tau, update_thres=args.update_thres,
                 vel_scaling_factor=vel_scaling_factor,
-                shift_rate=args.shift_rate, voja_learning_rate=1e-4,
-                pes_learning_rate=5e-3, intercept=0.1,
+                shift_rate=args.shift_rate, voja_learning_rate=args.voja_lr,
+                pes_learning_rate=args.pes_lr, intercept=0.1,
                 clean_up_method=clean_up_method,
                 gc_n_neurons=args.gc_n_neurons,
                 voja=not args.no_voja, seed=args.seed)
