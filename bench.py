@@ -215,7 +215,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--warmup-steps", type=int, default=200)
     ap.add_argument("--segment-steps", type=int, default=1000)
-    ap.add_argument("--timed-steps", type=int, default=5000)
+    # longer chained reps amortise per-call dispatch jitter on the
+    # accelerator tunnel (10 pipelined segment calls per block)
+    ap.add_argument("--timed-steps", type=int, default=10000)
     ap.add_argument("--baseline-steps", type=int, default=15)
     # unroll 16 is ~4% faster steady-state but the unrolled scan body makes
     # the executable (and its first remote compile/load on a tunnel
