@@ -495,3 +495,64 @@ class TestDeviceSolve:
         sim.run(0.2)
         assert np.allclose(sim.data[p][-30:].mean(axis=0), [0.4, -0.2],
                            atol=0.05)
+
+
+class TestPreloadAndCompile:
+    """Simulator.preload_inputs / Simulator.compile (packed-xs pipeline)."""
+
+    def _pi_net(self, seed=0):
+        import numpy as np
+        from sspslam_tpu import HexagonalSSPSpace
+        from sspslam_tpu.models import PathIntegration
+        from sspslam_tpu.nef import (Connection, LIFRate, Network, Node,
+                                     Probe, TimeTable)
+        dt = 0.001
+        n = 300
+        ts = dt * np.arange(n)
+        path = 0.4 * np.stack([np.sin(2 * np.pi * ts / 0.3),
+                               np.cos(2 * np.pi * ts / 0.3)], 1)
+        vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
+        bounds = 1.2 * np.tile(np.array([-1, 1.0]), (2, 1))
+        space = HexagonalSSPSpace(2, ssp_dim=31, seed=seed,
+                                  length_scale=0.3, domain_bounds=bounds)
+        scale = 1 / np.max(np.abs(space.phase_matrix @ vels.T))
+        init = space.encode(path[:1]).flatten()
+        with Network(seed=seed) as net:
+            vel = Node(TimeTable(vels * scale, dt))
+            ini = Node(lambda t: init if t < 0.05
+                       else np.zeros(space.ssp_dim))
+            pi = PathIntegration(space, 100, 0.05, scaling_factor=scale,
+                                 stable=True, neuron_type=LIFRate())
+            Connection(vel, pi.velocity_input, synapse=None)
+            Connection(ini, pi.input, synapse=None)
+            p = Probe(pi.output, synapse=0.05)
+        return net, p, n
+
+    def test_preloaded_matches_streaming_bitwise(self):
+        import numpy as np
+        from sspslam_tpu.nef import Simulator
+        net, p, n = self._pi_net()
+        sA = Simulator(net, seed=0)
+        sA.run_steps(n, segment_steps=100)
+        netB, pB, _ = self._pi_net()
+        sB = Simulator(netB, seed=0)
+        sB.preload_inputs(n)
+        sB.run_steps(n, segment_steps=100)
+        assert np.array_equal(np.asarray(sA.data[p]),
+                              np.asarray(sB.data[pB]))
+        # past the preloaded horizon: clamped last-row repeats, no crash
+        sB.run_steps(120, segment_steps=60)
+
+    def test_compile_does_not_advance_state(self):
+        import numpy as np
+        from sspslam_tpu.nef import Simulator
+        net, p, n = self._pi_net()
+        sA = Simulator(net, seed=0)
+        sA.compile(n, segment_steps=128)   # includes a 300 % 128 tail seg
+        assert sA.n_steps == 0
+        sA.run_steps(n, segment_steps=128)
+        netB, pB, _ = self._pi_net()
+        sB = Simulator(netB, seed=0)
+        sB.run_steps(n, segment_steps=128)
+        assert np.array_equal(np.asarray(sA.data[p]),
+                              np.asarray(sB.data[pB]))
