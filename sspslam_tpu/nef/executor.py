@@ -103,8 +103,22 @@ def build_params(model: Model, matmul_dtype=None):
         dstack[key] = (jnp.stack(mats)
                        if any(not isinstance(m, np.ndarray) for m in mats)
                        else np.stack(mats))
+    # hyperparameters as traced values, NOT jit constants: one compiled
+    # executable then serves every synapse-tau / learning-rate setting of a
+    # model shape (a fresh scan compile costs minutes on remote-compile
+    # backends)
+    hyper = {"filt_ab": np.asarray(
+        [(a, b) for (_s, a, b) in model.filter_specs],
+        np.float32).reshape(-1, 2)}
+    lr = {}
+    for bc in model.connections:
+        if bc.pes_rule is not None:
+            lr[bc.learned_slot] = np.float32(bc.pes_rule.learning_rate)
+        elif bc.voja_rule is not None:
+            lr[bc.learned_slot] = np.float32(bc.voja_rule.learning_rate)
+    hyper["lr"] = lr
     return {"ens": enc_params, "conn": conn_const, "probe": probe_const,
-            "dstack": dstack}
+            "dstack": dstack, "hyper": hyper}
 
 
 def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
@@ -313,12 +327,18 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
 
         # ---- filter updates ----------------------------------------------
         new_filters = list(filters)
+        filt_ab = params["hyper"]["filt_ab"]
+
+        def coeff(fi):
+            # traced (a, b) — synapse taus are runtime values, so changing
+            # them never recompiles; fi is a static index
+            return filt_ab[fi, 0], filt_ab[fi, 1]
 
         def update_filter(fi, u):
-            a, b = filt_coeffs[fi]
+            a, b = coeff(fi)
             if fi in cascade:  # Alpha: first stage feeds the output stage
                 h = cascade[fi]
-                ah, bh = filt_coeffs[h]
+                ah, bh = coeff(h)
                 u = ah * filters[h] + bh * u
                 new_filters[h] = u
             new_filters[fi] = a * filters[fi] + b * u
@@ -345,7 +365,7 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
                         else sig_act[bc.pre.index])
                 new_learned[bc.learned_slot] = learning_ops.pes_update(
                     learned[bc.learned_slot], acts, err,
-                    bc.pes_rule.learning_rate, dt)
+                    params["hyper"]["lr"][bc.learned_slot], dt)
             elif bc.voja_rule is not None:
                 gate = jnp.zeros((1,), dtype)
                 for rci in bc.rule_target_conns:
@@ -360,7 +380,7 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
                 scale = enc_params[be.index]["gain"] / be.radius
                 new_learned[bc.learned_slot] = learning_ops.voja_update(
                     learned[bc.learned_slot], acts, pre_v, learning_signal,
-                    scale, bc.voja_rule.learning_rate, dt)
+                    scale, params["hyper"]["lr"][bc.learned_slot], dt)
 
         # ---- probes -------------------------------------------------------
         emits = {}
@@ -385,10 +405,10 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
             else:
                 raise TypeError(bp.kind)
             if bp.filt_index is not None:
-                a, b = filt_coeffs[bp.filt_index]
+                a, b = coeff(bp.filt_index)
                 if bp.filt_index in cascade:
                     h = cascade[bp.filt_index]
-                    ah, bh = filt_coeffs[h]
+                    ah, bh = coeff(h)
                     v = ah * new_filters[h] + bh * v
                     new_filters[h] = v
                 v = a * new_filters[bp.filt_index] + b * v

@@ -556,3 +556,35 @@ class TestPreloadAndCompile:
         sB.run_steps(n, segment_steps=128)
         assert np.array_equal(np.asarray(sA.data[p]),
                               np.asarray(sB.data[pB]))
+
+    def test_learning_rate_is_traced_not_baked(self):
+        """Learning rates live in the params pytree (zero-recompile
+        hyperparameter sweeps); lr=0 must freeze the decoders."""
+        val = np.array([0.5, -0.4])
+
+        def mk(lr):
+            with Network(seed=12) as net:
+                inp = Node(lambda t: val)
+                ens = Ensemble(120, 2, neuron_type=LIFRate(), seed=12)
+                out = Node(size_in=2)
+                Connection(inp, ens, synapse=None)
+                c = Connection(ens, out, function=lambda x: np.zeros(2),
+                               learning_rule_type=PES(lr), synapse=0.02)
+                err = Node(size_in=2)
+                Connection(out, err, synapse=0.02)
+                Connection(inp, err, transform=-1.0, synapse=0.02)
+                Connection(err, c.learning_rule, synapse=0.02)
+                p = Probe(out, synapse=0.02)
+            return net, p
+        net0, p0 = mk(0.0)
+        s0 = Simulator(net0, seed=12)
+        s0.run(0.5)
+        assert np.allclose(s0.data[p0][-50:], 0.0, atol=1e-6)
+        net1, p1 = mk(1e-3)
+        s1 = Simulator(net1, seed=12)
+        # swap the traced learning rate only — same compiled program
+        slot = next(bc.learned_slot for bc in s1.model.connections
+                    if bc.pes_rule is not None)
+        assert float(s1.params["hyper"]["lr"][slot]) == np.float32(1e-3)
+        s1.run(0.5)
+        assert np.abs(s1.data[p1][-50:]).max() > 0.05
