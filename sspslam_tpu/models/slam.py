@@ -37,20 +37,35 @@ def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100,
     clean-up (argmax over a precomputed SSP bank — one matvec on device,
     replacing the host callback at reference slam.py:212-222).
 
-    ``sim_dtype``: dtype for the similarity matmul (default: bfloat16 via
-    :func:`ops.vsa.cleanup_from_set`; set SSPSLAM_CLEANUP_F32=1 or pass
-    jnp.float32 to compare in full precision)."""
+    ``sim_dtype``: dtype for the similarity matmul (default bfloat16; set
+    SSPSLAM_CLEANUP_F32=1 or pass jnp.float32 to compare in full
+    precision).
+
+    The returned callable carries ``hoisted_consts`` — the sample bank(s)
+    as a params-pytree contribution — so the builder passes them as TRACED
+    arrays instead of baking ~4-6 MB of constants into the compiled
+    executable (embedded constants inflate the serialized program the
+    persistent compilation cache must move over a remote-backend tunnel).
+    Called directly (without consts) it falls back to the closure."""
     import os
+    import numpy as _np
     sample_ssps, sample_points = ssp_space.get_sample_pts_and_ssps(samples_per_dim)
-    bank = jnp.asarray(sample_ssps, jnp.float32)
+    bank_np = _np.asarray(sample_ssps, _np.float32)
     if sim_dtype is None and os.environ.get("SSPSLAM_CLEANUP_F32"):
         sim_dtype = jnp.float32
+    sdt = jnp.bfloat16 if sim_dtype is None else sim_dtype
+    bank = jnp.asarray(bank_np)
+    bank_sim = bank.astype(sdt)
 
-    def cleanup_fun(x):
-        if sim_dtype is not None:
-            return vsa.cleanup_from_set(bank, x, sim_dtype=sim_dtype)
-        return vsa.cleanup_from_set(bank, x)
+    def cleanup_fun(x, consts=None):
+        b32 = bank if consts is None else consts["bank"]
+        bsim = bank_sim if consts is None else consts["bank_sim"]
+        sims = jnp.einsum("md,...d->...m", bsim, x.astype(bsim.dtype))
+        best = jnp.argmax(sims, axis=-1)
+        return jnp.take(b32, best, axis=0)
 
+    cleanup_fun.hoisted_consts = {
+        "bank": bank_np, "bank_sim": bank_np.astype(sdt)}
     return cleanup_fun, sample_ssps, sample_points
 
 
@@ -162,12 +177,22 @@ class SLAMNetwork(Network):
                        synapse=None)
 
             # clean-up of the PI output
+            if clean_up_fun is not None:
+                hc = getattr(clean_up_fun, "hoisted_consts", None)
+                if hc is not None:
+                    def cleanup_node_fn(t, x, consts=None,
+                                        _f=clean_up_fun):
+                        return _f(x, consts)
+                    cleanup_node_fn.hoisted_consts = hc
+                else:
+                    def cleanup_node_fn(t, x, _f=clean_up_fun):
+                        return _f(x)
             if clean_up_fun is None:
                 self.gridcells = None
                 Connection(self.pathintegrator.output,
                            self.landmark_ssp_ens.input_a, synapse=tau)
             elif gc_n_neurons <= 0:
-                self.gridcells = Node(lambda t, x: clean_up_fun(x), size_in=d,
+                self.gridcells = Node(cleanup_node_fn, size_in=d,
                                       size_out=d, label="cleanup")
                 Connection(self.pathintegrator.output, self.gridcells,
                            synapse=tau)
@@ -175,7 +200,7 @@ class SLAMNetwork(Network):
                            synapse=None)
             else:
                 gc_encoders = ssp_space.sample_grid_encoders(gc_n_neurons)
-                self.cleanup = Node(lambda t, x: clean_up_fun(x), size_in=d,
+                self.cleanup = Node(cleanup_node_fn, size_in=d,
                                     size_out=d, label="cleanup")
                 self.gridcells = Ensemble(
                     gc_n_neurons, d, encoders=gc_encoders,

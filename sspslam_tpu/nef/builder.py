@@ -151,6 +151,9 @@ class Model:
         self.filter_cascade: Dict[int, int] = {}
         self.topo_units: List[Tuple[str, Any]] = []
         self.learned_init: Dict[str, np.ndarray] = {}
+        # params-pytree contributions hoisted out of jnp-node closures
+        # (e.g. the clean-up sample bank) — traced, not baked as constants
+        self.hoisted: Dict[str, dict] = {}
         self.input_nodes: List[Node] = []      # tabulated nodes, in order
         self.dtype = jnp.float32
 
@@ -329,6 +332,11 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                 nparams = 1
             if node.size_in > 0 or nparams >= 2:
                 info["kind"] = "jnp_func"
+                hc = getattr(node.output, "hoisted_consts", None)
+                if hc:
+                    key = f"h{len(model.hoisted)}"
+                    info["hoisted_key"] = key
+                    model.hoisted[key] = dict(hc)
             else:
                 info["kind"] = "tabulated"
             if node.size_out is None:

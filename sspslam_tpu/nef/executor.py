@@ -117,8 +117,9 @@ def build_params(model: Model, matmul_dtype=None):
         elif bc.voja_rule is not None:
             lr[bc.learned_slot] = np.float32(bc.voja_rule.learning_rate)
     hyper["lr"] = lr
+    hoisted = {k: dict(v) for k, v in model.hoisted.items()}
     return {"ens": enc_params, "conn": conn_const, "probe": probe_const,
-            "dstack": dstack, "hyper": hyper}
+            "dstack": dstack, "hyper": hyper, "hoisted": hoisted}
 
 
 def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
@@ -301,7 +302,14 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
                     sig_node[id(obj)] = jnp.asarray(info["const"], dtype)
                 elif nk == "jnp_func":
                     x = gather_node_input(obj)
-                    out = obj.output(t, x) if obj.size_in > 0 else obj.output(t)
+                    hk = info.get("hoisted_key")
+                    if hk is not None:
+                        out = obj.output(t, x,
+                                         consts=params["hoisted"][hk])
+                    elif obj.size_in > 0:
+                        out = obj.output(t, x)
+                    else:
+                        out = obj.output(t)
                     sig_node[id(obj)] = jnp.asarray(out, dtype).reshape(-1)
                 else:  # passthrough
                     sig_node[id(obj)] = gather_node_input(obj)

@@ -228,7 +228,14 @@ class NumpyStepper:
                         else:
                             x += v
                     if nk == "jnp_func":
-                        out = obj.output(t, x) if obj.size_in > 0 else obj.output(t)
+                        hk = info.get("hoisted_key")
+                        if hk is not None:
+                            out = obj.output(t, x,
+                                             consts=m.hoisted[hk])
+                        elif obj.size_in > 0:
+                            out = obj.output(t, x)
+                        else:
+                            out = obj.output(t)
                         sig_node[id(obj)] = np.asarray(out, np.float32).reshape(-1)
                     else:
                         sig_node[id(obj)] = x
