@@ -142,8 +142,7 @@ def bench_pi(args, fast: bool):
         n_timed = max(seg, T // seg * seg)
         t0 = time.time()
         sim.run_steps(n_timed, segment_steps=seg)
-        import jax
-        jax.block_until_ready(sim.state)
+        sim.sync()
         sps = n_timed / (time.time() - t0)
         label = "PathIntegration generic engine"
     log(f"{label}: {sps:.0f} steps/s")
@@ -180,7 +179,7 @@ def bench_batched(args, sim):
         sim.model.initial_state())
     t0 = time.time()
     state, _ = fn(state0, xs)
-    jax.block_until_ready(state)
+    jax.block_until_ready(state); np.asarray(state["step"])
     log(f"batched compile+first: {time.time() - t0:.1f}s")
     n_chain = max(1, args.timed_steps // seg)
     rates = []
@@ -189,7 +188,7 @@ def bench_batched(args, sim):
         s = state0
         for _ in range(n_chain):
             s, _e = fn(s, xs)
-        jax.block_until_ready(s)
+        jax.block_until_ready(s); np.asarray(s["step"])
         el = time.time() - t0
         rates.append(B * n_chain * seg / el)
         log(f"batched rep {rep}: {rates[-1]:.0f} agg steps/s")
@@ -251,15 +250,15 @@ def main():
     sim.preload_inputs(seg + n_timed_total)
     t0 = time.time()
     sim.run_steps(seg, segment_steps=seg)
+    sim.sync()
     log(f"compile+warmup ({seg} steps): {time.time() - t0:.1f}s")
 
-    import jax
     n_timed = max(seg, args.timed_steps // seg * seg)
     rates = []
     for rep in range(args.reps):
         t0 = time.time()
         sim.run_steps(n_timed, segment_steps=seg)
-        jax.block_until_ready(sim.state)
+        sim.sync()   # block_until_ready alone can return early (tunnel)
         elapsed = time.time() - t0
         rates.append(n_timed / elapsed)
         log(f"timed rep {rep}: {n_timed} steps in {elapsed:.2f}s "

@@ -100,6 +100,7 @@ def main():
         start_t = time.thread_time()
         start = time.time()
         sim.run(T)
+        sim.sync()   # block_until_ready alone can return early (tunnel)
         elapsed_thread_time = time.thread_time() - start_t
         elapsed_time = time.time() - start
         pi_out_full = sim.data[ssp_p]

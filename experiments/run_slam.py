@@ -163,6 +163,7 @@ def main():
         start_t = time.thread_time()
         start = time.time()
         sim.run(T)
+        sim.sync()   # block_until_ready alone can return early (tunnel)
         elapsed_thread_time = time.thread_time() - start_t
         elapsed_time = time.time() - start
         slam_out_full = sim.data[slam_output_p]

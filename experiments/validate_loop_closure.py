@@ -121,8 +121,7 @@ def main():
     print(f"compile: {time.time() - t0:.1f}s", flush=True)
     t0 = time.time()
     sim.run_steps(n_steps)
-    import jax
-    jax.block_until_ready(sim.state)
+    sim.sync()   # real barrier: block_until_ready can return early here
     el = time.time() - t0
     print(f"sim: {el:.2f}s ({n_steps / el:.0f} steps/s, both models in one "
           "program)", flush=True)

@@ -180,6 +180,16 @@ class Simulator:
             [np.asarray(c, np.float32) for c in cols], axis=1)
 
     # ------------------------------------------------------------------
+    def sync(self) -> int:
+        """Wait for all dispatched simulation work to actually finish and
+        return the completed step count.  ``jax.block_until_ready`` is NOT
+        sufficient on some remote-accelerator backends (observed returning
+        while minutes of queued compile+compute remained); pulling a value
+        to the host is the only reliable barrier.  Call this before
+        stopping a wall-clock timer."""
+        jax.block_until_ready(self.state)
+        return int(np.asarray(self.state["step"]))
+
     def run(self, t_sim: float, segment_steps: Optional[int] = None):
         self.run_steps(int(round(t_sim / self.dt)), segment_steps=segment_steps)
 
@@ -213,6 +223,7 @@ class Simulator:
             xs = np.zeros((seg, width), np.float32)
             out_state, _ = run_segment(state, xs, self.params)
             jax.block_until_ready(out_state)
+            np.asarray(out_state["step"])   # real barrier (see sync())
 
     #: default upper bound on the compiled scan length — scan compile time
     #: grows with length, while the compiled segment is reused across calls
