@@ -41,12 +41,17 @@ def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100,
     SSPSLAM_CLEANUP_F32=1 or pass jnp.float32 to compare in full
     precision).
 
-    The returned callable carries ``hoisted_consts`` — the sample bank(s)
-    as a params-pytree contribution — so the builder passes them as TRACED
-    arrays instead of baking ~4-6 MB of constants into the compiled
-    executable (embedded constants inflate the serialized program the
-    persistent compilation cache must move over a remote-backend tunnel).
-    Called directly (without consts) it falls back to the closure."""
+    With SSPSLAM_HOIST_CLEANUP=1 the returned callable carries
+    ``hoisted_consts`` — the sample bank(s) as a params-pytree
+    contribution — so the builder passes them as TRACED arrays instead of
+    baking ~4-6 MB of constants into the compiled executable (embedded
+    constants inflate the serialized program the persistent compilation
+    cache must move over a remote-backend tunnel).  Default is OFF:
+    measured on TPU, the bank-as-constant stays VMEM-resident across scan
+    iterations while the bank-as-argument restages from HBM every step
+    (+4.5 us/step device time at reference scale, ~30%) — constants win
+    unless executable size dominates.  Called directly (without consts)
+    the function always falls back to the closure."""
     import os
     import numpy as _np
     sample_ssps, sample_points = ssp_space.get_sample_pts_and_ssps(samples_per_dim)
@@ -64,8 +69,9 @@ def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100,
         best = jnp.argmax(sims, axis=-1)
         return jnp.take(b32, best, axis=0)
 
-    cleanup_fun.hoisted_consts = {
-        "bank": bank_np, "bank_sim": bank_np.astype(sdt)}
+    if os.environ.get("SSPSLAM_HOIST_CLEANUP"):
+        cleanup_fun.hoisted_consts = {
+            "bank": bank_np, "bank_sim": bank_np.astype(sdt)}
     return cleanup_fun, sample_ssps, sample_points
 
 
