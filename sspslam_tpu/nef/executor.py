@@ -103,13 +103,12 @@ def build_params(model: Model, matmul_dtype=None):
         dstack[key] = (jnp.stack(mats)
                        if any(not isinstance(m, np.ndarray) for m in mats)
                        else np.stack(mats))
-    # hyperparameters as traced values, NOT jit constants: one compiled
-    # executable then serves every synapse-tau / learning-rate setting of a
-    # model shape (a fresh scan compile costs minutes on remote-compile
-    # backends)
-    hyper = {"filt_ab": np.asarray(
-        [(a, b) for (_s, a, b) in model.filter_specs],
-        np.float32).reshape(-1, 2)}
+    # learning rates as traced values, NOT jit constants: one compiled
+    # executable serves every learning-rate setting of a model shape (a
+    # fresh scan compile costs minutes on remote-compile backends).
+    # Filter coefficients stay BAKED: traced versions measurably slow the
+    # step (see make_step_fn.coeff).
+    hyper = {}
     lr = {}
     for bc in model.connections:
         if bc.pes_rule is not None:
@@ -335,12 +334,14 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
 
         # ---- filter updates ----------------------------------------------
         new_filters = list(filters)
-        filt_ab = params["hyper"]["filt_ab"]
 
         def coeff(fi):
-            # traced (a, b) — synapse taus are runtime values, so changing
-            # them never recompiles; fi is a static index
-            return filt_ab[fi, 0], filt_ab[fi, 1]
+            # literal (a, b): traced coefficients were measured to cost
+            # ~6 us/step on the full SLAM model (40%) — runtime scalars in
+            # every filter update defeat XLA's constant folding into the
+            # surrounding fusions. Learning rates stay traced (used once
+            # per step); synapse-tau changes recompile.
+            return filt_coeffs[fi]
 
         def update_filter(fi, u):
             a, b = coeff(fi)
