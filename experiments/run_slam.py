@@ -137,8 +137,10 @@ def main():
                 mem_encoders = Probe(slam.assomemory.conn_in.learning_rule,
                                      attr="scaled_encoders", sample_every=T)
 
-    from sspslam_tpu.nef import LIF, LoihiLIF, QuantizedLIF
-    neuron_type = {"lif": LIF(), "loihi": LoihiLIF(),
+    from sspslam_tpu.nef import (LIF, LIFRate, LoihiLIF, QuantizedLIF,
+                                 RectifiedLinear)
+    neuron_type = {"lif": LIF(), "lifrate": LIFRate(),
+                   "relu": RectifiedLinear(), "loihi": LoihiLIF(),
                    "quantized": QuantizedLIF()}[args.neuron_type]
     sim = Simulator(model, seed=args.seed, progress=True,
                     default_neuron_type=neuron_type)

@@ -94,8 +94,10 @@ def main():
         Connection(init_state, slam.pathintegrator.input, synapse=None)
         slam_output_p = Probe(slam.pathintegrator.output, synapse=0.05)
 
-    from sspslam_tpu.nef import LIF, LoihiLIF, QuantizedLIF
-    neuron_type = {"lif": LIF(), "loihi": LoihiLIF(),
+    from sspslam_tpu.nef import (LIF, LIFRate, LoihiLIF, QuantizedLIF,
+                                 RectifiedLinear)
+    neuron_type = {"lif": LIF(), "lifrate": LIFRate(),
+                   "relu": RectifiedLinear(), "loihi": LoihiLIF(),
                    "quantized": QuantizedLIF()}[args.neuron_type]
     sim = Simulator(model, seed=args.seed, progress=True,
                     default_neuron_type=neuron_type)

@@ -173,8 +173,10 @@ class PathIntegrationReencode(PathIntegration):
             cleanup_samples_per_dim)
         bank = jnp.asarray(sample_ssps, jnp.float32)
 
+        sim_dtype = vsa.default_cleanup_dtype()
+
         def cleanup_fun(t, x):
-            cleaned = vsa.cleanup_from_set(bank, x)
+            cleaned = vsa.cleanup_from_set(bank, x, sim_dtype=sim_dtype)
             active = jnp.mod(t, cleanup_dt) < 0.01
             return jnp.where(active, cleaned - x, jnp.zeros_like(x))
 

@@ -56,9 +56,7 @@ def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100,
     import numpy as _np
     sample_ssps, sample_points = ssp_space.get_sample_pts_and_ssps(samples_per_dim)
     bank_np = _np.asarray(sample_ssps, _np.float32)
-    if sim_dtype is None and os.environ.get("SSPSLAM_CLEANUP_F32"):
-        sim_dtype = jnp.float32
-    sdt = jnp.bfloat16 if sim_dtype is None else sim_dtype
+    sdt = vsa.default_cleanup_dtype() if sim_dtype is None else sim_dtype
     bank = jnp.asarray(bank_np)
     bank_sim = bank.astype(sdt)
 
@@ -336,15 +334,39 @@ def get_slam_input_functions2(ssp_space, lm_space, velocity_data,
     # displacement points (10^7 at reference scale: minutes of host time
     # and GBs of intermediates; this is the same factorisation as the
     # SLAMView adapter).
-    base_ssps = np.asarray(ssp_space.encode(
-        vec_to_landmarks_data[0]))                          # (L, d)
-    shift = np.asarray(ssp_space.encode(
-        vec_to_landmarks_data[:, 0, :]
-        - vec_to_landmarks_data[0, 0, :]))                  # (T, d): x_0-x_t
-    masked_base = mask @ base_ssps                          # (T, d)
-    sum_vec_ssps = np.fft.ifft(
-        np.fft.fft(shift, axis=1) * np.fft.fft(masked_base, axis=1),
-        axis=1).real
+    #
+    # The factorisation is exact ONLY for rigid data: every landmark's
+    # displacement differs from its t=0 value by the same agent motion,
+    # vec[t, l] == vec[0, l] + (vec[t, 0] - vec[0, 0]).  That holds for
+    # the reference's static noise-free landmark setup (vec = obj - path,
+    # run_slam.py:120); per-landmark-noisy or moving-landmark inputs break
+    # it, so verify on sampled timesteps and fall back to the exact
+    # per-point encode (the reference's own semantics, slam.py:470-489)
+    # when the data is non-rigid.
+    probe_t = np.unique(np.linspace(0, pathlen - 1, 8).astype(int))
+    delta = (vec_to_landmarks_data[probe_t] - vec_to_landmarks_data[0]
+             )  # (P, L, n)
+    rigid = np.allclose(delta, delta[:, :1, :], atol=1e-6)
+    if rigid:
+        base_ssps = np.asarray(ssp_space.encode(
+            vec_to_landmarks_data[0]))                      # (L, d)
+        shift = np.asarray(ssp_space.encode(
+            vec_to_landmarks_data[:, 0, :]
+            - vec_to_landmarks_data[0, 0, :]))              # (T, d): x_0-x_t
+        masked_base = mask @ base_ssps                      # (T, d)
+        sum_vec_ssps = np.fft.ifft(
+            np.fft.fft(shift, axis=1) * np.fft.fft(masked_base, axis=1),
+            axis=1).real
+    else:
+        # exact path, chunked over time to bound the (chunk*L, d) encode
+        sum_vec_ssps = np.empty((pathlen, d))
+        chunk = max(1, 2_000_000 // max(n_landmarks * d, 1))
+        for lo in range(0, pathlen, chunk):
+            hi = min(lo + chunk, pathlen)
+            enc = np.asarray(ssp_space.encode(
+                vec_to_landmarks_data[lo:hi].reshape(-1, domain_dim)))
+            enc = enc.reshape(hi - lo, n_landmarks, d)
+            sum_vec_ssps[lo:hi] = np.einsum("tl,tld->td", mask[lo:hi], enc)
 
     from ..nef.processes import TimeTable
     velocity_func = TimeTable(vels_scaled, dt)

@@ -260,8 +260,15 @@ class Simulator:
         t_start = time.time()
         while done < n_steps:
             seg = min(segment_steps, n_steps - done)
-            lo = min(base + done, max(0, packed.shape[0] - seg))
+            lo = base + done
             xs = packed[lo:lo + seg]
+            if xs.shape[0] < seg:
+                # past the tabulated horizon: repeat the last available row
+                # (TimeTable clamp semantics) instead of shifting the
+                # window back into stale earlier rows
+                last = xs[-1:] if xs.shape[0] else packed[-1:]
+                xs = np.concatenate(
+                    [xs, np.repeat(last, seg - xs.shape[0], axis=0)])
             run_segment = self._get_scan(seg)
             self.state, emits = run_segment(self.state, xs, self.params)
             for bp in model.probes:
@@ -331,6 +338,10 @@ class Simulator:
             leaves = [f[f"leaf_{i}"] for i in range(n)]
             self.n_steps = int(f["n_steps"])
         self.state = jax.tree_util.tree_unflatten(treedef, leaves)
+        # any preloaded input table was tabulated relative to the previous
+        # step counter; drop it so run_steps re-tabulates from the restored
+        # position instead of feeding misaligned rows
+        self._preloaded = None
 
     def __enter__(self):
         return self

@@ -32,8 +32,17 @@ _jit_solver_cache: dict = {}
 
 
 def _neuron_key(neuron_type):
-    return (type(neuron_type).__name__,
-            tuple(sorted(vars(neuron_type).items())))
+    items = []
+    for k, v in sorted(vars(neuron_type).items()):
+        try:
+            hash(v)
+        except TypeError:
+            # unhashable attribute (e.g. a per-neuron array parameter):
+            # key by identity — the solve still jits (neuron_type is a
+            # closure constant), it just doesn't share a cache entry
+            v = (type(v).__name__, id(v))
+        items.append((k, v))
+    return (type(neuron_type).__name__, tuple(items))
 
 
 def solve_decoders_on_device(neuron_type, scaled_encoders, bias, eval_points,

@@ -210,16 +210,28 @@ def similarity(vectors: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.einsum("md,...d->...m", vectors, v)
 
 
+def default_cleanup_dtype():
+    """Preferred dtype for clean-up similarity matmuls on the accelerator:
+    bfloat16, unless SSPSLAM_CLEANUP_F32=1 requests full precision.  Model
+    call sites (SLAMNetwork, PathIntegrationReencode) pass this explicitly;
+    the generic :func:`cleanup_from_set` op itself defaults to float32."""
+    import os
+    return jnp.float32 if os.environ.get("SSPSLAM_CLEANUP_F32") \
+        else jnp.bfloat16
+
+
 def cleanup_from_set(sample_ssps: jax.Array, v: jax.Array,
-                     sim_dtype=jnp.bfloat16) -> jax.Array:
+                     sim_dtype=jnp.float32) -> jax.Array:
     """Replace ``v`` with the most similar vector from ``sample_ssps``.
 
     The on-device equivalent of the clean-up node at reference
     slam.py:212-215 — a single (m, d) @ (d,) matvec plus argmax, which is
     cheap on the MXU/VPU instead of a host callback.
 
-    The similarity matmul runs in ``sim_dtype`` (default bfloat16): the
-    sample bank is the single largest constant read in the SLAM step
+    ``sim_dtype``: dtype for the similarity matmul.  The generic op
+    defaults to float32 (exact comparison); performance-critical model call
+    sites opt into bfloat16 via :func:`default_cleanup_dtype` — the sample
+    bank is the single largest constant read in the SLAM step
     (samples_per_dim^2 x d, ~4 MB at reference scale, re-read every dt) and
     the read is bandwidth-bound; only the ARGMAX of the similarities is
     consumed, so reduced precision merely risks a tie-flip to an adjacent

@@ -588,3 +588,77 @@ class TestPreloadAndCompile:
         assert float(s1.params["hyper"]["lr"][slot]) == np.float32(1e-3)
         s1.run(0.5)
         assert np.abs(s1.data[p1][-50:]).max() > 0.05
+
+
+class TestSimulatorEdgeCases:
+    """Round-3 regression tests: past-horizon clamp with long segments,
+    checkpoint/preload interaction, solver cache-key robustness."""
+
+    def test_preload_clamp_long_segment(self):
+        """segment_steps > the preload pad (DEFAULT_SEGMENT_STEPS): rows
+        past the tabulated horizon must repeat the LAST row (TimeTable
+        clamp), never replay earlier rows or shape-mismatch."""
+        import numpy as np
+        from sspslam_tpu.nef import Network, Node, Probe, Simulator
+        from sspslam_tpu.nef.processes import TimeTable
+        rows = np.arange(50, dtype=np.float32)[:, None]
+        with Network() as net:
+            nd = Node(TimeTable(rows, 0.001))
+            p = Probe(nd)
+        sim = Simulator(net)
+        sim.preload_inputs(50)
+        sim.run_steps(2400, segment_steps=1200)
+        out = np.asarray(sim.data[p]).ravel()
+        assert np.array_equal(out[:50], rows.ravel())
+        assert np.all(out[50:] == rows[-1, 0])
+
+    def test_streaming_clamp_long_segment(self):
+        """Same clamp semantics without preload (tabulated via TimeTable
+        past its own horizon)."""
+        import numpy as np
+        from sspslam_tpu.nef import Network, Node, Probe, Simulator
+        from sspslam_tpu.nef.processes import TimeTable
+        rows = np.arange(30, dtype=np.float32)[:, None]
+        with Network() as net:
+            nd = Node(TimeTable(rows, 0.001))
+            p = Probe(nd)
+        sim = Simulator(net)
+        sim.run_steps(100, segment_steps=100)
+        out = np.asarray(sim.data[p]).ravel()
+        assert np.array_equal(out[:30], rows.ravel())
+        assert np.all(out[30:] == rows[-1, 0])
+
+    def test_load_checkpoint_drops_preload(self, tmp_path):
+        import numpy as np
+        from sspslam_tpu.nef import Network, Node, Probe, Simulator
+        from sspslam_tpu.nef.processes import TimeTable
+        rows = np.arange(200, dtype=np.float32)[:, None]
+        with Network() as net:
+            nd = Node(TimeTable(rows, 0.001))
+            p = Probe(nd)
+        sim = Simulator(net)
+        sim.run_steps(50, segment_steps=50)
+        ck = str(tmp_path / "ck.npz")
+        sim.save_checkpoint(ck)
+
+        sim2_rows = Simulator(net)
+        sim2_rows.preload_inputs(200)      # tabulated from step 0
+        sim2_rows.run_steps(50, segment_steps=50)
+        sim2_rows.load_checkpoint(ck)
+        assert sim2_rows._preloaded is None
+        sim2_rows.run_steps(50, segment_steps=50)
+        out = np.asarray(sim2_rows.data[p]).ravel()
+        # rows after resume must continue from step 50, not misalign
+        assert np.array_equal(out[-50:], rows[50:100].ravel())
+
+    def test_solver_cache_key_unhashable_attr(self):
+        import numpy as np
+        from sspslam_tpu.nef.solvers import _neuron_key
+
+        class ArrayParamNeuron:
+            def __init__(self):
+                self.tau_rc = 0.02
+                self.per_neuron_param = np.arange(4)  # unhashable
+
+        key = _neuron_key(ArrayParamNeuron())
+        hash(key)   # must not raise

@@ -160,3 +160,42 @@ class TestSLAMGatedNetwork:
         sims = np.sum(out * real_ssp[:out.shape[0]], axis=1) / np.maximum(
             np.linalg.norm(out, axis=1), 1e-9)
         assert np.mean(sims[300:]) > 0.3
+
+
+class TestAdapterRigidity:
+    """get_slam_input_functions2's FPE factorisation is exact only for
+    rigid (static-landmark) data; non-rigid inputs must take the exact
+    per-point encoding path (round-3 ADVICE fix)."""
+
+    def _brute_sum_vecssp(self, space, vec_to_lm, view_rad):
+        T, L, n = vec_to_lm.shape
+        dists = np.linalg.norm(vec_to_lm, axis=2)
+        mask = dists <= view_rad
+        enc = np.asarray(space.encode(vec_to_lm.reshape(-1, n)))
+        enc = enc.reshape(T, L, space.ssp_dim)
+        return np.einsum("tl,tld->td", mask, enc)
+
+    def test_rigid_matches_brute_force(self, space):
+        path, vels, vec_to_lm = make_world(T=0.2, seed=3)
+        lm_space = SPSpace(3, space.ssp_dim, seed=3)
+        from sspslam_tpu.models import get_slam_input_functions2
+        out = get_slam_input_functions2(space, lm_space, vels, vec_to_lm, 0.8)
+        vecssp_f = out[6]
+        want = self._brute_sum_vecssp(space, vec_to_lm, 0.8)
+        got = vecssp_f.table if hasattr(vecssp_f, "table") else np.stack(
+            [vecssp_f((i + 1) * 0.001) for i in range(len(want))])
+        assert np.allclose(np.asarray(got)[:len(want)], want, atol=1e-6)
+
+    def test_nonrigid_falls_back_to_exact(self, space):
+        path, vels, vec_to_lm = make_world(T=0.2, seed=4)
+        # landmark 1 moves over time: breaks the rigidity precondition
+        vec_to_lm = vec_to_lm.copy()
+        T = vec_to_lm.shape[0]
+        vec_to_lm[:, 1, 0] += 0.3 * np.sin(np.linspace(0, 3, T))
+        lm_space = SPSpace(3, space.ssp_dim, seed=4)
+        from sspslam_tpu.models import get_slam_input_functions2
+        out = get_slam_input_functions2(space, lm_space, vels, vec_to_lm, 0.8)
+        vecssp_f = out[6]
+        want = self._brute_sum_vecssp(space, vec_to_lm, 0.8)
+        got = np.stack([vecssp_f((i + 1) * 0.001) for i in range(T)])
+        assert np.allclose(got, want, atol=1e-6)

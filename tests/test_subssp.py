@@ -74,3 +74,33 @@ class TestSSPDistributions:
         for arr in (s, r):
             assert arr.shape == (32, 3)
             assert arr.min() >= 0 and arr.max() <= 1
+
+
+class TestCleanupFromSet:
+    def test_default_is_exact_f32(self):
+        """The generic op compares in float32 by default: bank rows whose
+        similarities differ by less than bf16 resolution are still
+        distinguished (model call sites opt into bf16 explicitly)."""
+        import jax.numpy as jnp
+        from sspslam_tpu.ops.vsa import cleanup_from_set
+        rng = np.random.default_rng(0)
+        v1 = rng.normal(size=8)
+        v1 /= np.linalg.norm(v1)
+        w = rng.normal(size=8)
+        v2 = v1 + 0.02 * (w - (w @ v1) * v1)
+        v2 /= np.linalg.norm(v2)
+        bank = jnp.asarray(np.stack([v1, v2]), jnp.float32)
+        q = jnp.asarray(v2, jnp.float32)
+        got = np.asarray(cleanup_from_set(bank, q))
+        assert np.allclose(got, v2, atol=1e-6)
+        # sanity: the two similarities really are inside bf16 epsilon
+        sims = np.stack([v1, v2]) @ v2
+        assert 0 < sims[1] - sims[0] < 0.0078
+
+    def test_default_cleanup_dtype_env(self, monkeypatch):
+        import jax.numpy as jnp
+        from sspslam_tpu.ops.vsa import default_cleanup_dtype
+        monkeypatch.delenv("SSPSLAM_CLEANUP_F32", raising=False)
+        assert default_cleanup_dtype() is jnp.bfloat16
+        monkeypatch.setenv("SSPSLAM_CLEANUP_F32", "1")
+        assert default_cleanup_dtype() is jnp.float32
