@@ -32,16 +32,30 @@ __all__ = ["SLAMNetwork", "get_slam_input_functions",
 
 
 def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100,
-                     sim_dtype=None):
+                     sim_dtype=None, newton_iters=8):
     """Return (cleanup_fun, sample_ssps, sample_points): a jnp-traceable
-    clean-up (argmax over a precomputed SSP bank — one matvec on device,
-    replacing the host callback at reference slam.py:212-222).
+    clean-up running fully inside the compiled step — the on-device
+    replacement for the host callback the reference passes through as
+    ``clean_up_method`` (reference slam.py:212-222, slam_view.py:65,209).
 
-    ``sim_dtype``: dtype for the similarity matmul (default bfloat16; set
-    SSPSLAM_CLEANUP_F32=1 or pass jnp.float32 to compare in full
+    Methods (parity with the reference's decode-method pass-through):
+
+    - ``'grid'``: argmax over a precomputed SSP sample bank — one matvec.
+    - ``'direct-optim'``: grid argmax init, then ``newton_iters`` damped-
+      Newton iterations maximising the Fourier-domain similarity
+      (sspspace._newton_refine_core — the traceable analogue of the
+      reference's per-call scipy L-BFGS-B, sspspace.py:359-396), then
+      re-encode phi(x*).  All inside the step: this is an on-device
+      continuous clean-up the reference could only run as a host callback.
+    - ``'network'``: trained MLP decoder (train_decoder_net) + re-encode.
+    - ``'network-optim'``: MLP init + Newton polish + re-encode.
+    - ``None``: no clean-up (callers skip the node).
+
+    ``sim_dtype``: dtype for the grid similarity matmul (default bfloat16;
+    set SSPSLAM_CLEANUP_F32=1 or pass jnp.float32 to compare in full
     precision).
 
-    With SSPSLAM_HOIST_CLEANUP=1 the returned callable carries
+    With SSPSLAM_HOIST_CLEANUP=1 the grid callable carries
     ``hoisted_consts`` — the sample bank(s) as a params-pytree
     contribution — so the builder passes them as TRACED arrays instead of
     baking ~4-6 MB of constants into the compiled executable (embedded
@@ -54,22 +68,83 @@ def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100,
     the function always falls back to the closure."""
     import os
     import numpy as _np
-    sample_ssps, sample_points = ssp_space.get_sample_pts_and_ssps(samples_per_dim)
-    bank_np = _np.asarray(sample_ssps, _np.float32)
+    if method is None:
+        return None, None, None
+    if method not in ("grid", "direct-optim", "network", "network-optim"):
+        raise ValueError(
+            f"clean_up_method {method!r}: use 'grid', 'direct-optim', "
+            "'network', 'network-optim' or None")
+
     sdt = vsa.default_cleanup_dtype() if sim_dtype is None else sim_dtype
-    bank = jnp.asarray(bank_np)
-    bank_sim = bank.astype(sdt)
+    phase = jnp.asarray(ssp_space.phase_matrix, jnp.float32)
+    ls = jnp.asarray(_np.asarray(ssp_space.length_scale).flatten(),
+                     jnp.float32)
 
-    def cleanup_fun(x, consts=None):
-        b32 = bank if consts is None else consts["bank"]
-        bsim = bank_sim if consts is None else consts["bank_sim"]
-        sims = jnp.einsum("md,...d->...m", bsim, x.astype(bsim.dtype))
-        best = jnp.argmax(sims, axis=-1)
-        return jnp.take(b32, best, axis=0)
+    sample_ssps = sample_points = None
+    if method in ("grid", "direct-optim"):
+        sample_ssps, sample_points = ssp_space.get_sample_pts_and_ssps(
+            samples_per_dim)
+        bank_np = _np.asarray(sample_ssps, _np.float32)
+        bank = jnp.asarray(bank_np)
+        bank_sim = bank.astype(sdt)
+        points = jnp.asarray(sample_points, jnp.float32)
 
-    if os.environ.get("SSPSLAM_HOIST_CLEANUP"):
-        cleanup_fun.hoisted_consts = {
-            "bank": bank_np, "bank_sim": bank_np.astype(sdt)}
+    if method in ("network", "network-optim"):
+        if ssp_space.decoder_params is None:
+            ssp_space.train_decoder_net()
+        mlp_params = ssp_space.decoder_params
+
+    if method in ("direct-optim", "network-optim"):
+        from ..sspspace import _newton_refine_core
+        d = ssp_space.ssp_dim
+        mat = jnp.asarray(
+            ssp_space.phase_matrix / _np.asarray(
+                ssp_space.length_scale).reshape(1, -1), jnp.float32)
+        # DFT matrices for the target spectrum conj(F(v)) in real
+        # arithmetic: F = C v - i S v, conj(F) = C v + i S v
+        jk = 2 * _np.pi * _np.outer(_np.arange(d), _np.arange(d)) / d
+        C_mat = jnp.asarray(_np.cos(jk), jnp.float32)
+        S_mat = jnp.asarray(_np.sin(jk), jnp.float32)
+        lo_hi = None
+        if ssp_space.domain_bounds is not None:
+            lo_hi = (jnp.asarray(ssp_space.domain_bounds[:, 0], jnp.float32),
+                     jnp.asarray(ssp_space.domain_bounds[:, 1], jnp.float32))
+
+        def newton_polish(v, x0):
+            u = vsa.make_unitary(v)
+            t_re = C_mat @ u
+            t_im = S_mat @ u
+            x = _newton_refine_core(mat, t_re, t_im, x0, lo_hi,
+                                    newton_iters)
+            return vsa.encode(phase, x, ls)
+
+    if method == "grid":
+        def cleanup_fun(x, consts=None):
+            b32 = bank if consts is None else consts["bank"]
+            bsim = bank_sim if consts is None else consts["bank_sim"]
+            sims = jnp.einsum("md,...d->...m", bsim, x.astype(bsim.dtype))
+            best = jnp.argmax(sims, axis=-1)
+            return jnp.take(b32, best, axis=0)
+
+        if os.environ.get("SSPSLAM_HOIST_CLEANUP"):
+            cleanup_fun.hoisted_consts = {
+                "bank": bank_np, "bank_sim": bank_np.astype(sdt)}
+    elif method == "direct-optim":
+        def cleanup_fun(x):
+            sims = jnp.einsum("md,d->m", bank_sim, x.astype(bank_sim.dtype))
+            x0 = points[jnp.argmax(sims)]
+            return newton_polish(x, x0)
+    elif method == "network":
+        def cleanup_fun(x):
+            from ..sspspace import _mlp_apply
+            pt = _mlp_apply(mlp_params, x[None, :])[0]
+            return vsa.encode(phase, pt, ls)
+    else:  # network-optim
+        def cleanup_fun(x):
+            from ..sspspace import _mlp_apply
+            x0 = _mlp_apply(mlp_params, x[None, :])[0]
+            return newton_polish(x, x0)
+
     return cleanup_fun, sample_ssps, sample_points
 
 
@@ -112,27 +187,12 @@ class SLAMNetwork(Network):
             ovc_n_neurons, domain_dim, rng=np.random.default_rng(seed))
         OVC_encoders = ssp_space.encode(ovc_vectors)
 
-        if clean_up_method == "grid":
-            clean_up_fun, sample_ssps, sample_points = make_cleanup_fun(
-                ssp_space, samples_per_dim=cleanup_samples_per_dim)
+        clean_up_fun, sample_ssps, sample_points = make_cleanup_fun(
+            ssp_space, method=clean_up_method,
+            samples_per_dim=cleanup_samples_per_dim)
+        if sample_ssps is not None:
             self.sample_ssps = sample_ssps
             self.sample_points = sample_points
-        elif clean_up_method in ("network", "network-optim"):
-            ssp_space.train_decoder_net()
-            params = ssp_space.decoder_params
-            phase = jnp.asarray(ssp_space.phase_matrix, jnp.float32)
-            ls = jnp.asarray(ssp_space.length_scale.flatten(), jnp.float32)
-
-            def clean_up_fun(x):
-                from ..sspspace import _mlp_apply
-                pt = _mlp_apply(params, x[None, :])[0]
-                return vsa.encode(phase, pt, ls)
-        elif clean_up_method is None:
-            clean_up_fun = None
-        else:
-            raise NotImplementedError(
-                f"clean_up_method {clean_up_method!r}: use 'grid', 'network', "
-                "'network-optim' or None in the compiled model")
         self.clean_up_fun = clean_up_fun
 
         def update_state_func(t, x):

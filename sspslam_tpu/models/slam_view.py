@@ -43,15 +43,15 @@ class SLAMViewNetwork(Network):
             encoders = landmark_sps[rng.randint(n_landmarks, size=mem_n_neurons), :]
         intercept = (landmark_sps @ landmark_sps.T - np.eye(n_landmarks)).max()
 
-        if clean_up_method == "grid":
-            clean_up_fun, sample_ssps, sample_points = make_cleanup_fun(
-                ssp_space, samples_per_dim=cleanup_samples_per_dim)
+        # full clean-up method pass-through (reference slam_view.py:65,209
+        # accepts any decode method): grid / direct-optim / network /
+        # network-optim / None, all on-device (models/slam.py)
+        clean_up_fun, sample_ssps, sample_points = make_cleanup_fun(
+            ssp_space, method=clean_up_method,
+            samples_per_dim=cleanup_samples_per_dim)
+        if sample_ssps is not None:
             self.sample_ssps = sample_ssps
             self.sample_points = sample_points
-        elif clean_up_method is None:
-            clean_up_fun = None
-        else:
-            raise NotImplementedError(clean_up_method)
         self.clean_up_fun = clean_up_fun
 
         def update_state_func(t, x):

@@ -737,7 +737,18 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             else:
                 bp.kind, bp.target = "weights", bc
         elif isinstance(tgt, Neurons):
-            bp.kind, bp.target = "activities", built_by_obj[id(tgt.ensemble)]
+            be = built_by_obj[id(tgt.ensemble)]
+            if p.attr == "voltage":
+                # neuron membrane state (nengo `Probe(ens.neurons,
+                # 'voltage')` parity); only stateful (spiking) neuron
+                # models carry a voltage in the carry
+                if not be.neuron_type.spiking:
+                    raise ValueError(
+                        f"voltage probe on non-spiking neuron type "
+                        f"{type(be.neuron_type).__name__}")
+                bp.kind, bp.target = "voltage", be
+            else:
+                bp.kind, bp.target = "activities", be
             bp.elem_index = fused_elem.get(id(tgt.ensemble))
         elif isinstance(tgt, Ensemble):
             be = built_by_obj[id(tgt)]
@@ -782,7 +793,7 @@ def _probe_shape(bp: BuiltProbe) -> Tuple[int, ...]:
         return (bp.target.size_out,)
     if bp.kind == "ens_decoded":
         return (bp.target.dim,)
-    if bp.kind == "activities":
+    if bp.kind in ("activities", "voltage"):
         be = bp.target
         if bp.elem_index is not None:
             return (be.n,)

@@ -405,6 +405,10 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
                 v = sig_act[bp.target.index]
                 if bp.elem_index is not None:
                     v = v[bp.elem_index]
+            elif bp.kind == "voltage":
+                v = new_neurons[bp.target.index]["voltage"]
+                if bp.elem_index is not None:
+                    v = v[bp.elem_index]
             elif bp.kind == "weights":
                 D = (new_learned[bp.target.learned_slot]
                      if bp.target.learned_slot else conn_const[str(bp.target.index)]["D"])

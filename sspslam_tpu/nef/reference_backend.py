@@ -337,6 +337,10 @@ class NumpyStepper:
                 v = sig_act[bp.target.index]
                 if bp.elem_index is not None:
                     v = v[bp.elem_index]
+            elif bp.kind == "voltage":
+                v = st["neurons"][bp.target.index]["voltage"]
+                if bp.elem_index is not None:
+                    v = v[bp.elem_index]
             elif bp.kind == "weights":
                 D = (learned[bp.target.learned_slot]
                      if bp.target.learned_slot

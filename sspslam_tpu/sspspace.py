@@ -481,6 +481,46 @@ def _mlp_apply(params, x):
 _mlp_apply_jit = jax.jit(_mlp_apply)
 
 
+def _newton_refine_core(mat, t_re, t_im, x0, lo_hi, iters):
+    """Single-row damped-Newton maximisation of
+    Re<exp(i M x), conj(F(target))> — fully jnp-traceable, so it can run
+    INSIDE the compiled simulation step (the on-device 'direct-optim'
+    clean-up, models/slam.py) as well as under the batched offline decoder
+    (:func:`_newton_refine`, which vmaps it over rows).
+
+    ``mat`` (d, n) is phase_matrix/length_scale; (t_re, t_im) is
+    conj(FFT(target)); ``lo_hi`` an optional (lo, hi) bound pair.
+    """
+    def phasor_prod(x):
+        ph = mat @ x
+        fr, fi = jnp.cos(ph), jnp.sin(ph)
+        return fr * t_re - fi * t_im, fr * t_im + fi * t_re  # Re/Im of f * t
+
+    def neg_obj(x):
+        zr, _ = phasor_prod(x)
+        return -jnp.sum(zr)
+
+    n = x0.shape[0]
+
+    def body(i, x):
+        zr, zi = phasor_prod(x)
+        g = mat.T @ zi
+        H = mat.T @ (zr[:, None] * mat)
+        dx = jnp.linalg.solve(H + 1e-6 * jnp.eye(n), -g)
+        gnorm = g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
+        cands = jnp.stack([
+            x,
+            x + dx, x + 0.5 * dx, x + 0.1 * dx,
+            x - 0.1 * gnorm, x - 0.02 * gnorm, x - 0.004 * gnorm,
+        ])
+        if lo_hi is not None:
+            cands = jnp.clip(cands, lo_hi[0], lo_hi[1])
+        fvals = jax.vmap(neg_obj)(cands)
+        return cands[jnp.argmin(fvals)]
+
+    return jax.lax.fori_loop(0, iters, body, x0)
+
+
 def _newton_refine(mat, unit_fssp_targets, x0, lo, hi, iters=20):
     """Batched damped-Newton maximisation of Re<exp(i M x), conj(F(target))>.
 
@@ -502,37 +542,12 @@ def _newton_refine(mat, unit_fssp_targets, x0, lo, hi, iters=20):
     if lo is not None:
         lo_hi = (jnp.asarray(lo, jnp.float32), jnp.asarray(hi, jnp.float32))
 
-    def phasor_prod(x, tr, ti):
-        ph = mat @ x
-        fr, fi = jnp.cos(ph), jnp.sin(ph)
-        return fr * tr - fi * ti, fr * ti + fi * tr   # Re/Im of f * t
-
-    def neg_obj(x, tr, ti):
-        zr, _ = phasor_prod(x, tr, ti)
-        return -jnp.sum(zr)
-
-    def step(x, tr, ti):
-        zr, zi = phasor_prod(x, tr, ti)
-        g = mat.T @ zi
-        H = mat.T @ (zr[:, None] * mat)
-        n = x.shape[0]
-        dx = jnp.linalg.solve(H + 1e-6 * jnp.eye(n), -g)
-        gnorm = g / jnp.maximum(jnp.linalg.norm(g), 1e-12)
-        cands = jnp.stack([
-            x,
-            x + dx, x + 0.5 * dx, x + 0.1 * dx,
-            x - 0.1 * gnorm, x - 0.02 * gnorm, x - 0.004 * gnorm,
-        ])
-        if lo_hi is not None:
-            cands = jnp.clip(cands, lo_hi[0], lo_hi[1])
-        fvals = jax.vmap(lambda c: neg_obj(c, tr, ti))(cands)
-        return cands[jnp.argmin(fvals)]
-
     @jax.jit
     def run(x0):
-        def body(i, xs):
-            return jax.vmap(step)(xs, t_re, t_im)
-        return jax.lax.fori_loop(0, iters, body, x0)
+        return jax.vmap(
+            lambda tr, ti, x: _newton_refine_core(mat, tr, ti, x,
+                                                  lo_hi, iters)
+        )(t_re, t_im, x0)
 
     return run(x0)
 

@@ -199,3 +199,69 @@ class TestAdapterRigidity:
         want = self._brute_sum_vecssp(space, vec_to_lm, 0.8)
         got = np.stack([vecssp_f((i + 1) * 0.001) for i in range(T)])
         assert np.allclose(got, want, atol=1e-6)
+
+
+class TestCleanupMethods:
+    """clean_up_method pass-through parity (reference slam.py:212-222,
+    slam_view.py:65,209): every reference-legal method value builds an
+    on-device clean-up, including 'direct-optim' (grid init + traced
+    Newton polish inside the step)."""
+
+    def test_direct_optim_beats_coarse_grid(self, space):
+        import jax.numpy as jnp
+        from sspslam_tpu.models.slam import make_cleanup_fun
+        rng = np.random.default_rng(0)
+        grid_f, _, _ = make_cleanup_fun(space, method="grid",
+                                        samples_per_dim=12)
+        opt_f, _, _ = make_cleanup_fun(space, method="direct-optim",
+                                       samples_per_dim=12, newton_iters=10)
+        x_true = np.array([0.313, -0.547])
+        phi = np.asarray(space.encode(x_true[None]))[0]
+        noisy = phi + 0.05 * rng.normal(size=phi.shape)
+        phi_j = jnp.asarray(noisy, jnp.float32)
+        sim_grid = float(np.asarray(grid_f(phi_j)) @ phi)
+        sim_opt = float(np.asarray(opt_f(phi_j)) @ phi)
+        # the Newton polish must land closer to the true SSP than the
+        # coarse 12/dim grid snap
+        assert sim_opt > sim_grid
+        assert sim_opt > 0.98
+
+    def test_slam_builds_with_direct_optim(self, space):
+        T = 0.3
+        path, vels, vec_to_lm = make_world(T=T, seed=5, high=1.0)
+        d = space.ssp_dim
+        lm_space = SPSpace(3, d, seed=5)
+        (velocity_func, scale, in_view_f, _, sp_f, _, vecssp_f) = \
+            get_slam_input_functions(space, lm_space, vels, vec_to_lm, 0.6)
+        with Network(seed=0) as net:
+            vel = Node(velocity_func)
+            lm_id = Node(sp_f)
+            lm_ssp = Node(vecssp_f)
+            in_view = Node(in_view_f)
+            slam = SLAMNetwork(space, lm_space, 0.6, 3,
+                               pi_n_neurons=120, mem_n_neurons=150,
+                               circonv_n_neurons=40,
+                               vel_scaling_factor=scale,
+                               clean_up_method="direct-optim",
+                               cleanup_samples_per_dim=15, seed=0)
+            Connection(vel, slam.velocity_input, synapse=None)
+            Connection(lm_id, slam.landmark_id_input, synapse=None)
+            Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
+            Connection(in_view, slam.no_landmark_in_view, synapse=None)
+            p = Probe(slam.pathintegrator.output, synapse=0.05)
+        sim = Simulator(net, seed=0, default_neuron_type=LIFRate())
+        sim.run(T)
+        out = sim.data[p]
+        assert out.shape[0] == int(T / 0.001)
+        assert np.all(np.isfinite(out))
+
+    def test_slamview_accepts_all_methods(self, space):
+        """SLAMViewNetwork no longer raises on reference-legal values."""
+        lm_space = SPSpace(3, space.ssp_dim, seed=0)
+        for method in ("grid", "direct-optim", None):
+            net = SLAMViewNetwork(space, lm_space, 0.6, 3,
+                                  pi_n_neurons=80, mem_n_neurons=100,
+                                  circonv_n_neurons=40,
+                                  clean_up_method=method,
+                                  cleanup_samples_per_dim=10, seed=0)
+            assert (net.clean_up_fun is None) == (method is None)
