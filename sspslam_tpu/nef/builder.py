@@ -44,6 +44,21 @@ def default_n_eval_points(n_neurons: int, dimensions: int) -> int:
     return max(int(np.clip(500 * dimensions, 750, 2500)), 2 * n_neurons)
 
 
+def _eval_points_of(spec, n_eval_points, n, d, radius, rng):
+    """Resolve an ensemble's eval points (nengo semantics: distribution
+    samples are scaled by radius; an explicit (P, d) array is already in
+    represented space and used as-is)."""
+    from .distributions import Distribution
+    if spec is not None and not isinstance(spec, Distribution):
+        arr = np.asarray(spec, dtype=np.float64)
+        if arr.ndim == 2:
+            assert arr.shape[1] == d, \
+                f"eval_points shape {arr.shape} does not match dim {d}"
+            return arr
+    n_ep = n_eval_points or default_n_eval_points(n, d)
+    return sample_dist(spec, n_ep, d, rng=rng) * radius
+
+
 # ---------------------------------------------------------------------------
 # Built structures
 # ---------------------------------------------------------------------------
@@ -228,8 +243,8 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             if ens.normalize_encoders:
                 enc = enc / np.maximum(
                     np.linalg.norm(enc, axis=1, keepdims=True), 1e-12)
-        n_ep = ens.n_eval_points or default_n_eval_points(n, d)
-        ep = sample_dist(ens.eval_points, n_ep, d, rng=rng) * ens.radius
+        ep = _eval_points_of(ens.eval_points, ens.n_eval_points, n, d,
+                             ens.radius, rng)
         scaled = enc * (gain / ens.radius)[:, None]
         return BuiltEnsemble(ens, idx, False, 1, n, d, ens.radius, nt,
                              gain, bias, enc, scaled, ep)
@@ -252,8 +267,8 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                 e = e / np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
             gains.append(g); biases.append(b); encs.append(e)
         gain = np.stack(gains); bias = np.stack(biases); enc = np.stack(encs)
-        n_ep = proto.n_eval_points or default_n_eval_points(n, d)
-        ep = sample_dist(proto.eval_points, n_ep, d, rng=rng) * ea.radius
+        ep = _eval_points_of(proto.eval_points, proto.n_eval_points, n, d,
+                             ea.radius, rng)
         scaled = enc * (gain / ea.radius)[..., None]
         return BuiltEnsemble(ea, idx, True, k, n, d, ea.radius, nt,
                              gain, bias, enc, scaled, ep)
@@ -337,6 +352,11 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                     key = f"h{len(model.hoisted)}"
                     info["hoisted_key"] = key
                     model.hoisted[key] = dict(hc)
+                # optional pure-NumPy mirror: lets the host interpreter
+                # (reference_backend.NumpyStepper) evaluate the node
+                # without dispatching jnp eager ops to the default
+                # accelerator — critical for a fair host-only baseline
+                info["np_func"] = getattr(node.output, "np_function", None)
             else:
                 info["kind"] = "tabulated"
             if node.size_out is None:
@@ -499,15 +519,19 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
     _decoder_cache: Dict[tuple, np.ndarray] = {}
 
     def solve_decoders(be: BuiltEnsemble, function, reg, pre_indices=None,
-                       targets_out_dim=None):
+                       targets_out_dim=None, eval_points=None):
         """Solve decoders for a (possibly batched) built ensemble. Cached so
         k per-element connections sharing a function solve one batched
-        problem."""
+        problem.  ``eval_points``: optional per-connection override
+        (nengo `Connection(eval_points=...)` semantics) — solved at those
+        points instead of the ensemble's."""
         key = (id(be), id(function) if function is not None else None, reg,
-               tuple(pre_indices) if pre_indices is not None else None)
+               tuple(pre_indices) if pre_indices is not None else None,
+               id(eval_points) if eval_points is not None else None)
         if key in _decoder_cache:
             return _decoder_cache[key]
-        out = _solve_decoders_impl(be, function, reg, pre_indices)
+        out = _solve_decoders_impl(be, function, reg, pre_indices,
+                                   eval_points)
         _decoder_cache[key] = out
         return out
 
@@ -520,13 +544,41 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             batch = np.asarray(function(ep), dtype=np.float64)
             if batch.ndim == 2 and batch.shape[0] == P:
                 return batch
-        except Exception:
-            pass
+        except (TypeError, ValueError, IndexError) as batch_exc:
+            # probe one row before falling back: a function that ALSO
+            # fails row-wise is buggy, not merely unvectorised — surface
+            # the original error at the cause instead of a confusing
+            # failure deep in the row loop
+            try:
+                np.atleast_1d(np.asarray(function(ep[0]), dtype=np.float64))
+            except Exception:
+                raise batch_exc
         return np.asarray(
             [np.atleast_1d(np.asarray(function(x), dtype=np.float64))
              for x in ep])
 
-    def _solve_decoders_impl(be: BuiltEnsemble, function, reg, pre_indices=None):
+    def _solve_decoders_impl(be: BuiltEnsemble, function, reg,
+                             pre_indices=None, eval_points=None):
+        if eval_points is not None:
+            # per-connection eval points: rates computed inline (the
+            # ensemble's activity cache is for its own points)
+            ep = np.asarray(eval_points, np.float64)
+            targets = _eval_targets(ep, function)
+            if pre_indices is not None:
+                targets = targets[..., pre_indices]
+            epf = ep.astype(np.float32)
+            if be.batched:
+                Et = np.ascontiguousarray(
+                    be.scaled_encoders.transpose(0, 2, 1), np.float32)
+                J = epf[None] @ Et + be.bias[:, None, :].astype(np.float32)
+                acts = be.neuron_type.rates_np(J).astype(np.float32)
+                tb = np.broadcast_to(
+                    targets, (be.k,) + targets.shape).copy()
+                return lstsq_l2_batched(acts, tb, reg=reg)
+            J = epf @ np.ascontiguousarray(be.scaled_encoders.T, np.float32) \
+                + be.bias[None, :].astype(np.float32)
+            acts = be.neuron_type.rates_np(J).astype(np.float32)
+            return lstsq_l2(acts, targets, reg=reg)
         ep = be.eval_points  # (P, dim) — or (k, P, dim) for fused groups
         per_elem = be.batched and ep.ndim == 3
         P = ep.shape[1] if per_elem else ep.shape[0]
@@ -572,11 +624,13 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             # decoded connection: solve
             if pk == "ea_elem":
                 dec_all = solve_decoders(bc.pre, conn.function, conn.solver_reg,
-                                         pre_indices=pidx)
+                                         pre_indices=pidx,
+                                         eval_points=conn.eval_points)
                 bc.decoders = dec_all[pelem]  # (n, d)
             else:
                 bc.decoders = solve_decoders(bc.pre, conn.function, conn.solver_reg,
-                                             pre_indices=pidx)
+                                             pre_indices=pidx,
+                                             eval_points=conn.eval_points)
             if conn.learning_rule_type is not None and isinstance(
                     conn.learning_rule_type, PES):
                 bc.pes_rule = conn.learning_rule_type
