@@ -217,7 +217,8 @@ def main():
     # longer chained reps amortise per-call dispatch jitter on the
     # accelerator tunnel (10 pipelined segment calls per block)
     ap.add_argument("--timed-steps", type=int, default=10000)
-    ap.add_argument("--baseline-steps", type=int, default=15)
+    ap.add_argument("--baseline-steps", type=int, default=100)
+    ap.add_argument("--baseline-reps", type=int, default=3)
     # unroll 16 is ~4% faster steady-state but the unrolled scan body makes
     # the executable (and its first remote compile/load on a tunnel
     # backend) much bigger; 8 is the robust default
@@ -279,15 +280,27 @@ def main():
 
     vs_baseline = float("nan")
     if not args.skip_baseline:
+        # Host-only NumPy interpreter baseline.  The model's jnp node
+        # functions (clean-up argmax, gate) are evaluated through their
+        # np_function mirrors, so NO step work dispatches to the
+        # accelerator — measured >=100 steps x 3 reps, median (round-2
+        # review found a 15-step sample with jnp cleanup leaking onto the
+        # TPU tunnel understated the baseline 18x).
         from sspslam_tpu.nef.reference_backend import NumpyStepper
         ref = NumpyStepper(sim.model)
-        tables = [np.asarray(c)[:args.baseline_steps]
-                  for c in sim._tabulate_inputs(args.baseline_steps)]
-        ref.run_steps(2, tables)  # warm caches
-        t0 = time.time()
-        ref.run_steps(args.baseline_steps, tables)
-        ref_sps = args.baseline_steps / (time.time() - t0)
-        log(f"numpy reference interpreter: {ref_sps:.1f} steps/s")
+        n_base = args.baseline_steps
+        tables = [np.asarray(c)[:n_base]
+                  for c in sim._tabulate_inputs(n_base)]
+        ref.run_steps(5, tables)  # warm caches
+        base_rates = []
+        for _ in range(args.baseline_reps):
+            t0 = time.time()
+            ref.run_steps(n_base, tables)
+            base_rates.append(n_base / (time.time() - t0))
+        ref_sps = float(np.median(base_rates))
+        log(f"numpy reference interpreter: {ref_sps:.1f} steps/s "
+            f"(median of {args.baseline_reps}x{n_base} steps; "
+            f"range {min(base_rates):.1f}-{max(base_rates):.1f})")
         vs_baseline = steps_per_s / ref_sps
 
     n_neurons = sum((be.k * be.n if be.batched else be.n)

@@ -180,6 +180,16 @@ class PathIntegrationReencode(PathIntegration):
             active = jnp.mod(t, cleanup_dt) < 0.01
             return jnp.where(active, cleaned - x, jnp.zeros_like(x))
 
+        bank_np = np.asarray(sample_ssps, np.float32)
+
+        def _cleanup_np(t, x):
+            # host-interpreter mirror (keeps NumpyStepper off the device)
+            if float(t) % cleanup_dt < 0.01:
+                x = np.asarray(x, np.float32)
+                return bank_np[int(np.argmax(bank_np @ x))] - x
+            return np.zeros_like(np.asarray(x, np.float32))
+        cleanup_fun.np_function = _cleanup_np
+
         with self:
             cleanup = Node(cleanup_fun, size_in=d, size_out=d,
                            label=f"{label}_cleanup")

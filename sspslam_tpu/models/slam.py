@@ -126,6 +126,13 @@ def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100,
             best = jnp.argmax(sims, axis=-1)
             return jnp.take(b32, best, axis=0)
 
+        # pure-NumPy mirror for the host interpreter (one einsum+argmax;
+        # keeps the NumpyStepper baseline strictly host-only)
+        def _cleanup_np(x):
+            sims = bank_np @ _np.asarray(x, _np.float32)
+            return bank_np[int(_np.argmax(sims))]
+        cleanup_fun.np_function = _cleanup_np
+
         if os.environ.get("SSPSLAM_HOIST_CLEANUP"):
             cleanup_fun.hoisted_consts = {
                 "bank": bank_np, "bank_sim": bank_np.astype(sdt)}
@@ -146,6 +153,24 @@ def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100,
             return newton_polish(x, x0)
 
     return cleanup_fun, sample_ssps, sample_points
+
+
+def _wrap_cleanup_node(clean_up_fun):
+    """Wrap a cleanup callable into a ``(t, x)`` node function, carrying
+    through its ``hoisted_consts`` (traced-bank variant) and
+    ``np_function`` (host-interpreter mirror) attributes."""
+    hc = getattr(clean_up_fun, "hoisted_consts", None)
+    if hc is not None:
+        def cleanup_node_fn(t, x, consts=None, _f=clean_up_fun):
+            return _f(x, consts)
+        cleanup_node_fn.hoisted_consts = hc
+    else:
+        def cleanup_node_fn(t, x, _f=clean_up_fun):
+            return _f(x)
+    npf = getattr(clean_up_fun, "np_function", None)
+    if npf is not None:
+        cleanup_node_fn.np_function = lambda t, x, _f=npf: _f(x)
+    return cleanup_node_fn
 
 
 class SLAMNetwork(Network):
@@ -195,14 +220,36 @@ class SLAMNetwork(Network):
             self.sample_points = sample_points
         self.clean_up_fun = clean_up_fun
 
-        def update_state_func(t, x):
+        # With SSPSLAM_HOIST_GATE=1 the gate thresholds become TRACED
+        # params (hoisted_consts): one compiled executable serves every
+        # (update_thres, shift_rate) setting — the loop-closure sweep
+        # machinery rewrites them in Simulator.params without a recompile.
+        # Default is baked closure constants (the fastest single-config
+        # step, same rule as the filter coefficients).
+        def update_state_func(t, x, consts=None):
+            thr = update_thres if consts is None else consts["update_thres"]
+            sr = shift_rate if consts is None else consts["shift_rate"]
             pos_est = x[:d]
             pi_est = x[d:2 * d]
             no_view = x[-1]
             ok = (jnp.abs(no_view) < 1e-3) & (
-                jnp.sum(pos_est * pi_est) > update_thres)
-            return jnp.where(ok, shift_rate * (pos_est - pi_est),
+                jnp.sum(pos_est * pi_est) > thr)
+            return jnp.where(ok, sr * (pos_est - pi_est),
                              jnp.zeros_like(x[:d]))
+        import os as _os
+        if _os.environ.get("SSPSLAM_HOIST_GATE"):
+            update_state_func.hoisted_consts = {
+                "update_thres": np.float32(update_thres),
+                "shift_rate": np.float32(shift_rate)}
+
+        def _update_state_np(t, x):
+            # host-interpreter mirror of the gate (reference slam.py:233-237)
+            pos_est, pi_est = x[:d], x[d:2 * d]
+            if abs(float(x[-1])) < 1e-3 and \
+                    float(pos_est @ pi_est) > update_thres:
+                return shift_rate * (pos_est - pi_est)
+            return np.zeros(d, np.float32)
+        update_state_func.np_function = _update_state_np
 
         mk_unitary = _np_make_unitary
 
@@ -242,15 +289,7 @@ class SLAMNetwork(Network):
 
             # clean-up of the PI output
             if clean_up_fun is not None:
-                hc = getattr(clean_up_fun, "hoisted_consts", None)
-                if hc is not None:
-                    def cleanup_node_fn(t, x, consts=None,
-                                        _f=clean_up_fun):
-                        return _f(x, consts)
-                    cleanup_node_fn.hoisted_consts = hc
-                else:
-                    def cleanup_node_fn(t, x, _f=clean_up_fun):
-                        return _f(x)
+                cleanup_node_fn = _wrap_cleanup_node(clean_up_fun)
             if clean_up_fun is None:
                 self.gridcells = None
                 Connection(self.pathintegrator.output,

@@ -17,7 +17,7 @@ from ..nef import Connection, Ensemble, Network, Node
 from ..nef.distributions import CosineSimilarity
 from .associativememory import AssociativeMemory
 from .pathintegration import PathIntegration
-from .slam import make_cleanup_fun, _np_make_unitary
+from .slam import make_cleanup_fun, _np_make_unitary, _wrap_cleanup_node
 
 __all__ = ["SLAMViewNetwork", "get_slamview_input_functions"]
 
@@ -54,14 +54,31 @@ class SLAMViewNetwork(Network):
             self.sample_points = sample_points
         self.clean_up_fun = clean_up_fun
 
-        def update_state_func(t, x):
+        # gate thresholds traced under SSPSLAM_HOIST_GATE=1 (see
+        # models/slam.py): zero-recompile (update_thres, shift_rate) sweeps
+        def update_state_func(t, x, consts=None):
+            thr = update_thres if consts is None else consts["update_thres"]
+            sr = shift_rate if consts is None else consts["shift_rate"]
             est = x[:d]
             pi_est = x[d:2 * d]
             no_view = x[-1]
             ok = (jnp.abs(no_view) < 1e-3) & (
-                jnp.sum(est * pi_est) > update_thres)
-            return jnp.where(ok, shift_rate * (est - pi_est),
+                jnp.sum(est * pi_est) > thr)
+            return jnp.where(ok, sr * (est - pi_est),
                              jnp.zeros_like(x[:d]))
+        import os as _os
+        if _os.environ.get("SSPSLAM_HOIST_GATE"):
+            update_state_func.hoisted_consts = {
+                "update_thres": np.float32(update_thres),
+                "shift_rate": np.float32(shift_rate)}
+
+        def _update_state_np(t, x):
+            est, pi_est = x[:d], x[d:2 * d]
+            if abs(float(x[-1])) < 1e-3 and \
+                    float(est @ pi_est) > update_thres:
+                return shift_rate * (est - pi_est)
+            return np.zeros(d, np.float32)
+        update_state_func.np_function = _update_state_np
 
         with self:
             self.velocity_input = Node(size_in=domain_dim, label="vel_input")
@@ -100,16 +117,16 @@ class SLAMViewNetwork(Network):
                 Connection(self.pathintegrator.output,
                            self.assomemory.value_input, synapse=tau)
             elif gc_n_neurons <= 0:
-                self.gridcells = Node(lambda t, x: clean_up_fun(x), size_in=d,
-                                      size_out=d, label="cleanup")
+                self.gridcells = Node(_wrap_cleanup_node(clean_up_fun),
+                                      size_in=d, size_out=d, label="cleanup")
                 Connection(self.pathintegrator.output, self.gridcells,
                            synapse=tau)
                 Connection(self.gridcells, self.assomemory.value_input,
                            synapse=None)
             else:
                 gc_encoders = ssp_space.sample_grid_encoders(gc_n_neurons)
-                self.cleanup = Node(lambda t, x: clean_up_fun(x), size_in=d,
-                                    size_out=d, label="cleanup")
+                self.cleanup = Node(_wrap_cleanup_node(clean_up_fun),
+                                    size_in=d, size_out=d, label="cleanup")
                 self.gridcells = Ensemble(
                     gc_n_neurons, d, encoders=gc_encoders,
                     intercepts=CosineSimilarity(d + 2), label="gridcells")

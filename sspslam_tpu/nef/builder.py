@@ -123,6 +123,9 @@ class BuiltConnection:
     filt_index: Optional[int] = None          # filter state slot
     filt_shape: Optional[Tuple[int, ...]] = None
     learned_slot: Optional[str] = None        # key into carry['learned']
+    # (row0, k) slice of a FUSED EnsembleArray group this connection touches
+    # (None when the endpoint owns the whole batched group)
+    ea_rows: Optional[Tuple[int, int]] = None
     pes_rule: Optional[PES] = None
     voja_rule: Optional[Voja] = None
     pes_act_filt_index: Optional[int] = None
@@ -326,10 +329,90 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             fused_elem[id(ens)] = j
         model.ensembles.append(merged)
 
-    for ea in ea_list:
-        be = build_array(ea, len(model.ensembles))
-        built_by_obj[id(ea)] = be
-        model.ensembles.append(be)
+    # ---- EnsembleArray fusion --------------------------------------------
+    # Same-spec EnsembleArrays whose ONLY wiring is the implicit input/
+    # output routes (e.g. the two (2d, n, 1) circular-convolution product
+    # arrays in SLAMNetwork) merge into one batched group with row offsets:
+    # one encode einsum + one neuron update + one decode einsum per step
+    # instead of one set per array.  Arrays referenced per-element, by
+    # Neurons views, or by BatchedConnections (the recurrent VCO bank) stay
+    # solo — their wiring addresses individual rows/whole groups.
+    ea_fuse_excluded = set()
+    for conn in conn_list:
+        if isinstance(conn, BatchedConnection):
+            for end in (conn.pre, conn.post):
+                if isinstance(end, EnsembleArray):
+                    ea_fuse_excluded.add(id(end))
+            continue
+        for end in (conn.pre, conn.post):
+            base = end.obj if isinstance(end, ObjView) else end
+            if isinstance(base, EAElement):
+                ea_fuse_excluded.add(id(base.ea))
+            ens_of = getattr(base, "ensemble", None)
+            if isinstance(ens_of, EAElement):
+                ea_fuse_excluded.add(id(ens_of.ea))
+        if conn.learning_rule_type is not None:
+            for end in (conn.pre, conn.post):
+                base = end.obj if isinstance(end, ObjView) else end
+                if isinstance(base, EnsembleArray):
+                    ea_fuse_excluded.add(id(base))
+    for p in probe_list:
+        base = p.target.obj if isinstance(p.target, ObjView) else p.target
+        if isinstance(base, EAElement):
+            ea_fuse_excluded.add(id(base.ea))
+        ens_of = getattr(base, "ensemble", None)
+        if isinstance(ens_of, EAElement):
+            ea_fuse_excluded.add(id(ens_of.ea))
+
+    #: per-EA row offset inside its (possibly merged) batched group, and the
+    #: solve proxy carrying the EA's own eval points / params for decoder
+    #: solving (identical draws to the unfused build)
+    ea_row0: Dict[int, int] = {}
+    ea_solve_proxy: Dict[int, BuiltEnsemble] = {}
+    import os as _os
+    _ea_fuse_on = _os.environ.get("SSPSLAM_FUSE_EA", "1") != "0"
+    ea_builds = [(ea, build_array(ea, -1)) for ea in ea_list]
+    ea_groups: Dict[Any, list] = {}
+    for ea, be in ea_builds:
+        fusable = (fuse_ensembles and _ea_fuse_on
+                   and id(ea) not in ea_fuse_excluded)
+        key = ((be.n, be.dim, float(be.radius), be.neuron_type,
+                be.eval_points.shape[0])
+               if fusable else ("solo", id(ea)))
+        ea_groups.setdefault(key, []).append((ea, be))
+    for key, members in ea_groups.items():
+        if len(members) == 1:
+            ea, be = members[0]
+            be.index = len(model.ensembles)
+            built_by_obj[id(ea)] = be
+            ea_row0[id(ea)] = 0
+            ea_solve_proxy[id(ea)] = be
+            model.ensembles.append(be)
+            continue
+        first = members[0][1]
+        merged = BuiltEnsemble(
+            obj=tuple(ea for ea, _ in members), index=len(model.ensembles),
+            batched=True, k=sum(b.k for _, b in members),
+            n=first.n, dim=first.dim, radius=first.radius,
+            neuron_type=first.neuron_type,
+            gain=np.concatenate([b.gain for _, b in members]),
+            bias=np.concatenate([b.bias for _, b in members]),
+            encoders=np.concatenate([b.encoders for _, b in members]),
+            scaled_encoders=np.concatenate(
+                [b.scaled_encoders for _, b in members]),
+            # per-element eval points so any direct solve on the merged
+            # group addresses the right rows (routes solve via the proxy)
+            eval_points=np.concatenate(
+                [np.broadcast_to(b.eval_points,
+                                 (b.k,) + b.eval_points.shape)
+                 for _, b in members]))
+        off = 0
+        for ea, b in members:
+            built_by_obj[id(ea)] = merged
+            ea_row0[id(ea)] = off
+            ea_solve_proxy[id(ea)] = b
+            off += b.k
+        model.ensembles.append(merged)
 
     # ---- node info --------------------------------------------------------
     for node in node_list:
@@ -387,10 +470,11 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
     implicit_conns: List[Any] = []
     for ea in ea_list:
         be = built_by_obj[id(ea)]
-        implicit_conns.append(("ea_input_route", ea.input, be))
-        implicit_conns.append(("ea_output_route", be, ea.output, None, 0.1))
+        implicit_conns.append(("ea_input_route", ea.input, be, ea))
+        implicit_conns.append(("ea_output_route", be, ea.output, None, 0.1,
+                               ea))
         for name, (fn, od, node, reg) in ea._outputs.items():
-            implicit_conns.append(("ea_output_route", be, node, fn, reg))
+            implicit_conns.append(("ea_output_route", be, node, fn, reg, ea))
 
     # ---- helpers for connection building ---------------------------------
     filter_specs = model.filter_specs
@@ -419,7 +503,8 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                         pre.indices_for(base.dimensions), j)
             if isinstance(base, EAElement):
                 return ("ea_elem", built_by_obj[id(base.ea)],
-                        pre.indices_for(base.dimensions), base.index)
+                        pre.indices_for(base.dimensions),
+                        base.index + ea_row0.get(id(base.ea), 0))
             raise TypeError(f"bad pre view base {base!r}")
         if isinstance(pre, Node):
             return "node", pre, None, None
@@ -431,7 +516,8 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         if isinstance(pre, EnsembleArray):
             return "node", pre.output, None, None
         if isinstance(pre, EAElement):
-            return "ea_elem", built_by_obj[id(pre.ea)], None, pre.index
+            return ("ea_elem", built_by_obj[id(pre.ea)], None,
+                    pre.index + ea_row0.get(id(pre.ea), 0))
         if isinstance(pre, Neurons):
             return ("neurons", built_by_obj[id(pre.ensemble)], None,
                     fused_elem.get(id(pre.ensemble)))
@@ -449,7 +535,8 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                         post.indices_for(base.dimensions), j)
             if isinstance(base, EAElement):
                 return ("ea_elem", built_by_obj[id(base.ea)],
-                        post.indices_for(base.dimensions), base.index)
+                        post.indices_for(base.dimensions),
+                        base.index + ea_row0.get(id(base.ea), 0))
             raise TypeError(f"bad post view base {base!r}")
         if isinstance(post, Node):
             return "node", post, None, None
@@ -461,7 +548,8 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         if isinstance(post, EnsembleArray):
             return "node", post.input, None, None
         if isinstance(post, EAElement):
-            return "ea_elem", built_by_obj[id(post.ea)], None, post.index
+            return ("ea_elem", built_by_obj[id(post.ea)], None,
+                    post.index + ea_row0.get(id(post.ea), 0))
         if isinstance(post, Neurons):
             return ("neurons", built_by_obj[id(post.ensemble)], None,
                     fused_elem.get(id(post.ensemble)))
@@ -747,17 +835,23 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
     # EA implicit routes become BuiltConnections too
     for item in implicit_conns:
         if item[0] == "ea_input_route":
-            _, in_node, be = item
+            _, in_node, be, ea = item
             bc = BuiltConnection(None, len(model.connections), "node", "ea_batch",
                                  pre=in_node, post=be)
             bc.synapse = None
+            if ea_solve_proxy[id(ea)] is not be:   # fused group member
+                bc.ea_rows = (ea_row0[id(ea)], ea.n_ensembles)
             model.connections.append(bc)
         else:
-            _, be, out_node, fn, reg = item
+            _, be, out_node, fn, reg, ea = item
             bc = BuiltConnection(None, len(model.connections), "ea_batch", "node",
                                  pre=be, post=out_node)
-            bc.decoders = solve_decoders(be, fn, reg)  # (k, n, od)
+            # solve on the EA's own proxy build: identical decoders to the
+            # unfused model, sized (k_ea, n, od)
+            bc.decoders = solve_decoders(ea_solve_proxy[id(ea)], fn, reg)
             bc.synapse = None
+            if ea_solve_proxy[id(ea)] is not be:
+                bc.ea_rows = (ea_row0[id(ea)], ea.n_ensembles)
             model.connections.append(bc)
 
     for conn in conn_list:

@@ -32,6 +32,38 @@ def _contig(idx):
     return None
 
 
+def _ea_batch_decode_groups(model: Model):
+    """Static decodes of row-slices of the SAME fused-EA group with the same
+    output width, layered so each layer's members cover disjoint rows —
+    each layer lowers as ONE (k, n) x (k, n, d) einsum over the whole group
+    followed by cheap row slices, instead of one sliced einsum per member
+    (the two circular-convolution product arrays' square decodes in
+    SLAMNetwork)."""
+    import numpy as np
+    by_spec = {}
+    for bc in model.connections:
+        if (bc.pre_kind == "ea_batch" and bc.decoders is not None
+                and bc.learned_slot is None and bc.ea_rows is not None):
+            key = (bc.pre.index, int(np.shape(bc.decoders)[-1]))
+            by_spec.setdefault(key, []).append(bc)
+    groups = {}
+    for (pre_idx, d), bcs in by_spec.items():
+        layers = []
+        for bc in bcs:
+            off, kk = bc.ea_rows
+            for layer in layers:
+                if all(off + kk <= o or off >= o + k
+                       for (o, k), _ in layer):
+                    layer.append(((off, kk), bc))
+                    break
+            else:
+                layers.append([((off, kk), bc)])
+        for li, layer in enumerate(layers):
+            if len(layer) >= 2:
+                groups[f"eab{pre_idx}_{d}_{li}"] = [bc for _, bc in layer]
+    return groups
+
+
 def _elem_decode_groups(model: Model):
     """Static (non-learned) per-element decodes off the SAME batched group
     with the same output width, e.g. the memory/error/recall taps of the
@@ -103,6 +135,17 @@ def build_params(model: Model, matmul_dtype=None):
         dstack[key] = (jnp.stack(mats)
                        if any(not isinstance(m, np.ndarray) for m in mats)
                        else np.stack(mats))
+    # fused-EA layered decode stacks: full-group (k_tot, n, d) matrices with
+    # each member's (k_ea, n, d) decoders scattered into its rows
+    for key, bcs in _ea_batch_decode_groups(model).items():
+        be = bcs[0].pre
+        d_out = int(np.shape(bcs[0].decoders)[-1])
+        full = jnp.zeros((be.k, be.n, d_out), jnp.float32)
+        for bc in bcs:
+            off, kk = bc.ea_rows
+            full = full.at[off:off + kk].set(
+                jnp.asarray(bc.decoders, jnp.float32))
+        dstack[key] = _p(full)
     # learning rates as traced values, NOT jit constants: one compiled
     # executable serves every learning-rate setting of a model shape (a
     # fresh scan compile costs minutes on remote-compile backends).
@@ -163,11 +206,34 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
 
     input_index = {id(n): i for i, n in enumerate(model.input_nodes)}
 
+    # fused-EA groups whose inputs EXACTLY tile the row axis (one route per
+    # member, disjoint, covering [0, k)): build the group input by
+    # concatenation instead of zeros + scatter-adds
+    _tiled_inputs = {}
+    for be_idx, bcs in ens_in.items():
+        if not all(bc.post_kind == "ea_batch" and bc.ea_rows is not None
+                   for bc in bcs) or len(bcs) < 2:
+            continue
+        order = sorted(bcs, key=lambda bc: bc.ea_rows[0])
+        pos = 0
+        for bc in order:
+            off, kk = bc.ea_rows
+            if off != pos:
+                break
+            pos = off + kk
+        else:
+            if pos == order[0].post.k:
+                _tiled_inputs[be_idx] = order
+
     # batched per-element decode groups: bc.index -> (group key, row)
     _elem_groups = _elem_decode_groups(model)
     _elem_pos = {bc.index: (key, i)
                  for key, bcs in _elem_groups.items()
                  for i, bc in enumerate(bcs)}
+    # fused-EA layered decode groups: bc.index -> group key
+    _eab_pos = {bc.index: key
+                for key, bcs in _ea_batch_decode_groups(model).items()
+                for bc in bcs}
 
     def step(state, xs, params):
         enc_params = params["ens"]
@@ -214,12 +280,27 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
                     return elem_decode(bc)
                 return matmul(act[bc.ea_elem_index], decoders_of(bc))
             if bc.pre_kind == "ea_batch":
+                if bc.index in _eab_pos:
+                    # layered group decode: ONE einsum over the whole
+                    # fused group, members read their row slice
+                    key = _eab_pos[bc.index]
+                    if key not in dec_cache:
+                        dec_cache[key] = ein("kn,knd->kd", act,
+                                             params["dstack"][key])
+                    off, kk = bc.ea_rows
+                    return dec_cache[key][off:off + kk]
+                if bc.ea_rows is not None:   # fused-EA member rows
+                    off, kk = bc.ea_rows
+                    act = act[off:off + kk]
                 return ein("kn,knd->kd", act, decoders_of(bc))
             if bc.pre_kind == "neurons":
                 if bc.ea_elem_index is not None:  # fused-group element
                     return act[bc.ea_elem_index]
                 return act.reshape(-1)
             if bc.pre_kind == "ea_neurons":
+                if bc.ea_rows is not None:
+                    off, kk = bc.ea_rows
+                    return act[off:off + kk]
                 return act              # (k, n) raw activities
             raise TypeError(bc.pre_kind)
 
@@ -263,11 +344,20 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
 
         def gather_ens_input(be):
             shape = (be.k, be.dim) if be.batched else (be.dim,)
+            if be.index in _tiled_inputs:
+                return jnp.concatenate(
+                    [conn_output(bc).reshape((bc.ea_rows[1],) + shape[1:])
+                     for bc in _tiled_inputs[be.index]], axis=0)
             x = jnp.zeros(shape, dtype)
             for bc in ens_in.get(be.index, []):
                 v = conn_output(bc)
                 if bc.post_kind == "ea_batch":
-                    x = x + v.reshape(shape)
+                    if bc.ea_rows is not None:   # fused-EA member rows
+                        off, kk = bc.ea_rows
+                        x = x.at[off:off + kk].add(
+                            v.reshape((kk,) + shape[1:]))
+                    else:
+                        x = x + v.reshape(shape)
                 elif bc.post_kind == "ea_elem":
                     if bc.post_indices is not None:
                         rng = _contig(bc.post_indices)

@@ -177,19 +177,27 @@ class NumpyStepper:
             if bc.pre_kind == "ea_elem":
                 return act[bc.ea_elem_index] @ decoders_of(bc)
             if bc.pre_kind == "ea_batch":
+                if bc.ea_rows is not None:   # fused-EA member rows
+                    off, kk = bc.ea_rows
+                    act = act[off:off + kk]
                 return np.einsum("kn,knd->kd", act, decoders_of(bc))
             if bc.pre_kind == "neurons":
                 if bc.ea_elem_index is not None:  # fused-group element
                     return act[bc.ea_elem_index]
                 return act.reshape(-1)
             if bc.pre_kind == "ea_neurons":
+                if bc.ea_rows is not None:
+                    off, kk = bc.ea_rows
+                    return act[off:off + kk]
                 return act              # (k, n) raw activities
             raise TypeError(bc.pre_kind)
 
         def current_value(bc):
             v = pre_value(bc)
             if bc.jnp_function is not None:
-                v = np.asarray(bc.jnp_function(v)).reshape(-1)
+                np_f = getattr(bc.jnp_function, "np_function", None)
+                f = np_f if np_f is not None else bc.jnp_function
+                v = np.asarray(f(v)).reshape(-1)
             if bc.pre_kind == "ea_batch" and bc.post_kind == "node":
                 v = v.reshape(-1)
             if bc.weights is not None:
@@ -228,8 +236,16 @@ class NumpyStepper:
                         else:
                             x += v
                     if nk == "jnp_func":
+                        np_f = info.get("np_func")
                         hk = info.get("hoisted_key")
-                        if hk is not None:
+                        if np_f is not None:
+                            # pure-NumPy mirror: stays on the host even
+                            # when the jax default backend is a remote
+                            # accelerator (jnp eager dispatch over a
+                            # tunnel costs ~ms/op and is NOT a fair CPU
+                            # baseline)
+                            out = np_f(t, x)
+                        elif hk is not None:
                             out = obj.output(t, x,
                                              consts=m.hoisted[hk])
                         elif obj.size_in > 0:
@@ -246,7 +262,12 @@ class NumpyStepper:
                 for bc in self.ens_in.get(be.index, []):
                     v = conn_output(bc)
                     if bc.post_kind == "ea_batch":
-                        x += v.reshape(shape)
+                        if bc.ea_rows is not None:
+                            off, kk = bc.ea_rows
+                            x[off:off + kk] += v.reshape(
+                                (kk,) + shape[1:])
+                        else:
+                            x += v.reshape(shape)
                     elif bc.post_kind == "ea_elem":
                         if bc.post_indices is not None:
                             x[bc.post_elem_index, bc.post_indices] += v

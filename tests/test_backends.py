@@ -151,3 +151,66 @@ class TestLongHorizonDrift:
         # drift must stay bounded across the whole horizon, not just the end
         assert err.max() / scale < 2e-2, f"max drift {err.max()/scale}"
         assert err[-1] / scale < 2e-2
+
+
+class TestFullSLAMCrossCheck:
+    """Full SLAMNetwork (cleanup node + gate + Voja/PES memory + circonv)
+    interpreter-vs-jit agreement.  Exercises the host-only np_function
+    mirrors of the jnp node functions: a divergence between a mirror and
+    its jnp original shows up here as a backend mismatch."""
+
+    def test_slam_model(self, monkeypatch):
+        monkeypatch.setenv("SSPSLAM_CLEANUP_F32", "1")
+        from sspslam_tpu import SPSpace
+        from sspslam_tpu.models import SLAMNetwork, get_slam_input_functions
+        from sspslam_tpu.nef import WhiteSignal
+        T, dt, seed = 0.15, 0.001, 0
+        bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
+        space = HexagonalSSPSpace(2, ssp_dim=31, seed=seed, length_scale=0.3,
+                                  domain_bounds=bounds)
+        d = space.ssp_dim
+        path = np.hstack([WhiteSignal(T, high=2.0, seed=seed + i).run(T, dt=dt)
+                          for i in range(2)])
+        vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
+        rng = np.random.default_rng(seed)
+        landmarks = rng.uniform(-0.3, 0.3, size=(2, 2))
+        vec_to_lm = landmarks[None, :, :] - path[:, None, :]
+        lm_space = SPSpace(2, d, seed=seed)
+        (velocity_func, scale, in_view_f, _, sp_f, _, vecssp_f) = \
+            get_slam_input_functions(space, lm_space, vels, vec_to_lm, 2.0)
+        with Network(seed=seed) as net:
+            vel = Node(velocity_func)
+            lm_id = Node(sp_f)
+            lm_ssp = Node(vecssp_f)
+            in_view = Node(in_view_f)
+            slam = SLAMNetwork(space, lm_space, 2.0, 2,
+                               pi_n_neurons=60, mem_n_neurons=80,
+                               circonv_n_neurons=30,
+                               vel_scaling_factor=scale,
+                               cleanup_samples_per_dim=10, seed=seed)
+            Connection(vel, slam.velocity_input, synapse=None)
+            Connection(lm_id, slam.landmark_id_input, synapse=None)
+            Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
+            Connection(in_view, slam.no_landmark_in_view, synapse=None)
+            Probe(slam.pathintegrator.output, synapse=0.02)
+            Probe(slam.assomemory.recall, synapse=0.02)
+        cross_check(net, T=T, seed=seed, atol=2e-3)
+
+    def test_np_mirrors_registered(self):
+        """The SLAM model's jnp node functions all carry host mirrors."""
+        from sspslam_tpu import SPSpace
+        from sspslam_tpu.models import SLAMNetwork
+        bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
+        space = HexagonalSSPSpace(2, ssp_dim=31, seed=0, length_scale=0.3,
+                                  domain_bounds=bounds)
+        lm_space = SPSpace(2, space.ssp_dim, seed=0)
+        with Network(seed=0) as net:
+            slam = SLAMNetwork(space, lm_space, 0.6, 2,
+                               pi_n_neurons=50, mem_n_neurons=60,
+                               circonv_n_neurons=20,
+                               cleanup_samples_per_dim=10, seed=0)
+        sim = Simulator(net, seed=0)
+        jnp_nodes = [info for info in sim.model.node_info.values()
+                     if info["kind"] == "jnp_func"]
+        assert jnp_nodes, "expected jnp node functions in the SLAM model"
+        assert all(info.get("np_func") is not None for info in jnp_nodes)
