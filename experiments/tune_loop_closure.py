@@ -1,0 +1,217 @@
+"""Loop-closure equilibrium tuning sweep (round-3, VERDICT item 3).
+
+Sweeps (update_thres, shift_rate, pes_lr, voja_lr, intercept) on the
+validate_loop_closure.py protocol with ZERO recompiles: gate thresholds are
+hoisted to traced params (SSPSLAM_HOIST_GATE=1, set below before model
+import), learning rates are always traced, and intercept only changes
+gain/bias VALUES — so every config runs through the ONE compiled scan of
+the first build (parallel.trials.run_seed_sweep mechanism, inlined here
+with device-preloaded tables).
+
+Stage 1 sweeps the gate (update_thres x shift_rate) at --T; stage 2 refines
+the best gate setting over (pes_lr, voja_lr, intercept).  Prints a ranked
+table; the best row is the tuned config for VALIDATION.md.
+
+Usage: python experiments/tune_loop_closure.py [--T 50] [--final-T 200]
+"""
+
+import argparse
+import itertools
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ["SSPSLAM_HOIST_GATE"] = "1"   # traced gate: required for sweep
+
+sys.path.insert(1, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import sspslam_tpu
+from sspslam_tpu import HexagonalSSPSpace
+from sspslam_tpu.models import SLAMNetwork, get_slam_input_functions2
+from sspslam_tpu.nef import (Connection, Network, Node, Probe, Simulator,
+                             WhiteSignal)
+from sspslam_tpu.utils.sampling import Rd_sampling
+
+from experiments.common import decode_output
+
+
+def make_world(T, seed, limit=0.1, n_landmarks=50, view_rad=0.2,
+               ssp_dim=97, radius=1.0):
+    # guard against a degenerate world: WhiteSignal needs at least one
+    # frequency bin under the cutoff (high >= 1/T)
+    limit = max(limit, 1.5 / T)
+    dt = 0.001
+    n_steps = int(T / dt)
+    path = np.hstack([
+        WhiteSignal(T, high=limit, seed=seed + i).run(T, dt=dt)
+        for i in range(2)])[:n_steps]
+    for i in range(2):
+        lo, hi = path[:, i].min(), path[:, i].max()
+        path[:, i] = ((path[:, i] - lo) / max(hi - lo, 1e-12)
+                      * 1.8 * radius - 0.9 * radius)
+    vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
+    bounds = 1.1 * radius * np.tile(np.array([-1, 1.0]), (2, 1))
+    space = HexagonalSSPSpace(2, ssp_dim=ssp_dim, seed=seed,
+                              length_scale=0.2, domain_bounds=bounds)
+    obj_locs = 0.9 * radius * 2 * (
+        Rd_sampling(n_landmarks, 2, seed=seed) - 0.5)
+    vec_to_landmarks = obj_locs[None, :, :] - path[:, None, :]
+    lm_space = sspslam_tpu.SPSpace(n_landmarks, space.ssp_dim, seed=seed)
+    fns = get_slam_input_functions2(space, lm_space, vels, vec_to_landmarks,
+                                    view_rad)
+    return dict(space=space, lm_space=lm_space, path=path, vels=vels,
+                fns=fns, n_steps=n_steps, view_rad=view_rad,
+                n_landmarks=n_landmarks)
+
+
+def build_sim(world, cfg, seed, pi_n=800, mem_n=970, cc_n=100):
+    space, lm_space = world["space"], world["lm_space"]
+    d = space.ssp_dim
+    (vel_f, scale, in_view_f, _, sp_f, _, vecssp_f) = world["fns"]
+    init = space.encode(world["path"][:1]).flatten()
+    with Network(seed=seed) as net:
+        vel = Node(vel_f)
+        init_node = Node(lambda t: init if t < 0.05 else np.zeros(d))
+        lm_id = Node(sp_f)
+        lm_ssp = Node(vecssp_f)
+        in_view = Node(in_view_f)
+        slam = SLAMNetwork(space, lm_space, world["view_rad"],
+                           world["n_landmarks"], pi_n, mem_n, cc_n,
+                           update_thres=cfg["update_thres"],
+                           shift_rate=cfg["shift_rate"],
+                           voja_learning_rate=cfg["voja_lr"],
+                           pes_learning_rate=cfg["pes_lr"],
+                           intercept=cfg["intercept"],
+                           vel_scaling_factor=scale, seed=seed)
+        Connection(vel, slam.velocity_input, synapse=None)
+        Connection(init_node, slam.pathintegrator.input, synapse=None)
+        Connection(lm_id, slam.landmark_id_input, synapse=None)
+        Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
+        Connection(in_view, slam.no_landmark_in_view, synapse=None)
+        p = Probe(slam.pathintegrator.output, synapse=0.05)
+    sim = Simulator(net, seed=seed)
+    return sim, p
+
+
+def run_config(lead, sim, probe, world, segment_steps=1000):
+    """Run sim through the LEAD's compiled program (traced params).
+
+    The world (inputs) is identical across configs, so the device-resident
+    table preloaded once on the lead serves every config; only params
+    (learning rates, hoisted gate scalars, gain/bias) differ per run."""
+    n_steps = world["n_steps"]
+    if lead._preloaded_dev is None:
+        lead.preload_inputs(n_steps)
+    dev_table = lead._preloaded_dev
+    emits_chunks = []
+    state = sim.model.initial_state()
+    done = 0
+    while done < n_steps:
+        seg = min(segment_steps, n_steps - done)
+        if dev_table is not None and done + seg <= dev_table.shape[0]:
+            run_segment = lead._get_scan_dev(seg)
+            state, emits = run_segment(state, dev_table, np.int32(done),
+                                       sim.params)
+        else:
+            run_segment = lead._get_scan(seg)
+            xs = lead._preloaded[done:done + seg]
+            state, emits = run_segment(state, xs, sim.params)
+        bp = next(p for p in sim.model.probes if p.obj is probe)
+        emits_chunks.append(emits[bp.index])
+        done += seg
+    import jax
+    jax.block_until_ready(state)
+    out = np.concatenate([np.asarray(c) for c in emits_chunks])
+    skip = max(1, n_steps // 2000)
+    path_s = world["path"][::skip]
+    q = max(1, len(path_s) // 4)
+    est = decode_output(world["space"], out[::skip], 2, grid=100)
+    err = np.sqrt(np.sum((path_s - est) ** 2, axis=1))
+    return float(np.median(err)), float(np.median(err[-q:])), float(err[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--T", type=float, default=50.0,
+                    help="stage-1 episode length")
+    ap.add_argument("--final-T", type=float, default=200.0,
+                    help="stage-2 episode length (reference protocol)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--segment-steps", type=int, default=1000)
+    ap.add_argument("--top", type=int, default=3)
+    ap.add_argument("--ssp-dim", type=int, default=97)
+    ap.add_argument("--view-rad", type=float, default=0.2)
+    ap.add_argument("--limit", type=float, default=0.1)
+    ap.add_argument("--n-landmarks", type=int, default=50)
+    ap.add_argument("--pi-n-neurons", type=int, default=800)
+    ap.add_argument("--mem-n-neurons", type=int, default=970)
+    ap.add_argument("--circonv-n-neurons", type=int, default=100)
+    args = ap.parse_args()
+
+    base = dict(update_thres=0.2, shift_rate=0.2, voja_lr=1e-4,
+                pes_lr=5e-3, intercept=0.1)
+
+    world = make_world(args.T, args.seed, n_landmarks=args.n_landmarks,
+                       ssp_dim=args.ssp_dim, view_rad=args.view_rad,
+                       limit=args.limit)
+    lead = None
+    results = []
+
+    def evaluate(cfg, world, tag):
+        nonlocal lead
+        t0 = time.time()
+        sim, p = build_sim(world, cfg, args.seed,
+                           pi_n=args.pi_n_neurons, mem_n=args.mem_n_neurons,
+                           cc_n=args.circonv_n_neurons)
+        if lead is None:
+            lead = sim
+        med, lq, fin = run_config(lead, sim, p, world,
+                                  segment_steps=args.segment_steps)
+        print(f"[{tag}] thr={cfg['update_thres']:.2f} "
+              f"sr={cfg['shift_rate']:.2f} pes={cfg['pes_lr']:.0e} "
+              f"voja={cfg['voja_lr']:.0e} icpt={cfg['intercept']:.2f} "
+              f"-> median {med:.3f}, last-q {lq:.3f}, final {fin:.3f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+        results.append((med, lq, cfg))
+        return med
+
+    # stage 1: gate grid
+    for thr, sr in itertools.product([0.05, 0.1, 0.2, 0.4],
+                                     [0.1, 0.2, 0.5, 1.0]):
+        cfg = dict(base, update_thres=thr, shift_rate=sr)
+        evaluate(cfg, world, "s1")
+
+    results.sort(key=lambda r: r[0])
+    best_gate = results[0][2]
+    print(f"\nbest gate: thr={best_gate['update_thres']} "
+          f"sr={best_gate['shift_rate']}")
+
+    # stage 2: learning/intercept refinements around the best gate
+    stage2 = []
+    for pes, voja, icpt in itertools.product([5e-3, 1e-2, 2e-2],
+                                             [1e-4, 5e-4],
+                                             [0.1, 0.3]):
+        cfg = dict(best_gate, pes_lr=pes, voja_lr=voja, intercept=icpt)
+        med = evaluate(cfg, world, "s2")
+        stage2.append((med, cfg))
+
+    stage2.sort(key=lambda r: r[0])
+    print("\n== stage-2 ranking (top 5) ==")
+    for med, cfg in stage2[:5]:
+        print(f"  {med:.3f}  {cfg}")
+
+    # stage 3: confirm the best configs at the full reference protocol
+    world_f = make_world(args.final_T, args.seed,
+                         n_landmarks=args.n_landmarks, ssp_dim=args.ssp_dim,
+                         view_rad=args.view_rad, limit=args.limit)
+    lead = None
+    print(f"\n== stage-3 confirmation at T={args.final_T}s ==")
+    for _, cfg in stage2[:args.top]:
+        evaluate(cfg, world_f, "s3")
+    evaluate(base, world_f, "s3-ref-defaults")
+
+
+if __name__ == "__main__":
+    main()

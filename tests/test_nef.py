@@ -720,3 +720,36 @@ class TestVoltageProbe:
             Probe(ens.neurons, attr="voltage")
         with pytest.raises(ValueError, match="voltage"):
             Simulator(net, seed=0)
+
+
+class TestDevicePreload:
+    """preload_inputs(device=True): the compiled dynamic-slice segment path
+    must match the per-call packed-argument path bitwise."""
+
+    def test_device_table_matches_host_path(self):
+        import numpy as np
+        from sspslam_tpu.nef import Network, Node, Probe, Simulator
+        from sspslam_tpu.nef.processes import TimeTable
+        rng = np.random.default_rng(0)
+        rows = rng.normal(size=(300, 3)).astype(np.float32)
+        def build():
+            with Network() as net:
+                nd = Node(TimeTable(rows, 0.001))
+                out = Node(size_in=3)
+                from sspslam_tpu.nef import Connection
+                Connection(nd, out, synapse=0.01)
+                p = Probe(out)
+            return net, p
+        netA, pA = build()
+        sA = Simulator(netA)
+        sA.preload_inputs(300, device=False)
+        sA.run_steps(300, segment_steps=100)
+        netB, pB = build()
+        sB = Simulator(netB)
+        sB.preload_inputs(300, device=True)
+        assert sB._preloaded_dev is not None
+        sB.run_steps(300, segment_steps=100)
+        assert np.array_equal(np.asarray(sA.data[pA]),
+                              np.asarray(sB.data[pB]))
+        # runs past the device horizon fall back to the host path
+        sB.run_steps(sB._preloaded_dev.shape[0], segment_steps=5000)
