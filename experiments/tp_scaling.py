@@ -35,7 +35,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_slam(args):
+def build_slam(args, mesh=None):
     import sspslam_tpu
     from sspslam_tpu import HexagonalSSPSpace, SPSpace
     from sspslam_tpu.models import SLAMNetwork, get_slam_input_functions
@@ -76,7 +76,7 @@ def build_slam(args):
         Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
         Connection(in_view, slam.no_landmark_in_view, synapse=None)
         Probe(slam.pathintegrator.output, synapse=0.05)
-    sim = Simulator(net, seed=seed)
+    sim = Simulator(net, seed=seed, mesh=mesh)
     return sim
 
 
@@ -120,21 +120,26 @@ def main():
     from sspslam_tpu.parallel.sharding import make_mesh, state_shardings
 
     log(f"devices: {len(jax.devices())} x {jax.devices()[0].platform}")
-    sim = build_slam(args)
-    model = sim.model
-    step = sim._step_fn
-    params = sim.params
-    T = args.steps
-    xs_cols = [jnp.asarray(np.asarray(c)[:T])
-               for c in sim._tabulate_inputs(T)]
-    n_neurons = sum((be.k * be.n if be.batched else be.n)
-                    for be in model.ensembles)
-    log(f"model: d={sim.model.ensembles[0].dim if False else args.ssp_dim}, "
-        f"total neurons={n_neurons}")
 
     rows = []
+    ideal_flops = None
     for n_dev in [int(x) for x in args.mesh_sizes.split(",")]:
         mesh = make_mesh(n_dev)
+        # rebuild per mesh: batched element axes pad to n_dev multiples
+        # (builder pad_batched_to) so GSPMD shards them evenly — the d=97
+        # flagship's k=49 VCO bank divides no power-of-two mesh unpadded
+        sim = build_slam(args, mesh=mesh if n_dev > 1 else None)
+        model = sim.model
+        step = sim._step_fn
+        params = sim.params
+        T = args.steps
+        xs_cols = [jnp.asarray(np.asarray(c)[:T])
+                   for c in sim._tabulate_inputs(T)]
+        n_neurons = sum((be.k * be.n if be.batched else be.n)
+                        for be in model.ensembles)
+        ks = [be.k for be in model.ensembles if be.batched]
+        log(f"mesh={n_dev}: total neurons={n_neurons}, "
+            f"batched group sizes={ks}")
         shardings = state_shardings(model, mesh)
         state0 = jax.tree_util.tree_map(
             lambda x, s: jax.device_put(jnp.asarray(x), s),
@@ -163,14 +168,20 @@ def main():
             jax.block_until_ready(out)
             times.append(time.time() - t0)
         med = float(np.median(times))
+        if n_dev == 1 and ideal_flops is None:
+            ideal_flops = flops
+        ratio = (flops / (ideal_flops / n_dev)
+                 if ideal_flops and np.isfinite(flops) else float("nan"))
         row = {"mesh": n_dev, "wall_s_per_segment": round(med, 4),
                "steps_per_s": round(T / med, 1),
-               "flops_per_segment": flops, **stats}
+               "flops_per_segment": flops,
+               "per_device_flops_vs_ideal": round(ratio, 3), **stats}
         rows.append(row)
         log(f"mesh={n_dev}: {med*1e3:.1f} ms/segment ({T/med:.0f} steps/s), "
             f"all-reduce={stats['all-reduce']} "
             f"({stats['all_reduce_bytes']/1e3:.1f} kB/step-segment), "
-            f"all-gather={stats['all-gather']}, flops={flops:.3g}")
+            f"all-gather={stats['all-gather']}, flops={flops:.3g}, "
+            f"vs-ideal={row['per_device_flops_vs_ideal']}")
 
     print(json.dumps(rows, indent=1))
     if args.json_out:

@@ -201,12 +201,19 @@ class Model:
 
 def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
           default_neuron_type: Optional[NeuronType] = None,
-          fuse_ensembles: bool = True) -> Model:
+          fuse_ensembles: bool = True, pad_batched_to: int = 1) -> Model:
     """``fuse_ensembles``: merge same-shaped single ensembles (same n, dim,
     radius, neuron type; no Voja-learned encoders, not pre of a PES
     connection) into ONE batched group executed as a single einsum + neuron
     update per step — a TPU op-count optimisation with bitwise-identical
-    parameters (each element keeps its own seeded draws)."""
+    parameters (each element keeps its own seeded draws).
+
+    ``pad_batched_to``: pad every batched group's element axis up to a
+    multiple of this (the model-parallel mesh size) with PHANTOM rows —
+    zero encoders/decoders, bias -1, so they never spike and contribute
+    exact zeros — making the leading axis divisible so GSPMD shards it
+    evenly instead of replicating (the d=97 flagship has k=49 VCOs, which
+    divides no power-of-two mesh; see docs/MULTICHIP.md)."""
     model = Model(network, dt, seed)
     master = np.random.default_rng(seed if seed is not None else network.seed)
     default_nt = default_neuron_type or LIF()
@@ -381,7 +388,11 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                if fusable else ("solo", id(ea)))
         ea_groups.setdefault(key, []).append((ea, be))
     for key, members in ea_groups.items():
-        if len(members) == 1:
+        k_tot = sum(b.k for _, b in members)
+        pad_rows = 0
+        if pad_batched_to > 1 and k_tot % pad_batched_to:
+            pad_rows = pad_batched_to - k_tot % pad_batched_to
+        if len(members) == 1 and pad_rows == 0:
             ea, be = members[0]
             be.index = len(model.ensembles)
             built_by_obj[id(ea)] = be
@@ -390,22 +401,35 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             model.ensembles.append(be)
             continue
         first = members[0][1]
+
+        def cat(attr, pad_val=0.0):
+            parts = [getattr(b, attr) for _, b in members]
+            if pad_rows:
+                parts.append(np.full((pad_rows,) + parts[0].shape[1:],
+                                     pad_val, parts[0].dtype))
+            return np.concatenate(parts)
+
         merged = BuiltEnsemble(
             obj=tuple(ea for ea, _ in members), index=len(model.ensembles),
-            batched=True, k=sum(b.k for _, b in members),
+            batched=True, k=k_tot + pad_rows,
             n=first.n, dim=first.dim, radius=first.radius,
             neuron_type=first.neuron_type,
-            gain=np.concatenate([b.gain for _, b in members]),
-            bias=np.concatenate([b.bias for _, b in members]),
-            encoders=np.concatenate([b.encoders for _, b in members]),
-            scaled_encoders=np.concatenate(
-                [b.scaled_encoders for _, b in members]),
+            gain=cat("gain"),
+            # phantom rows: bias -1 keeps every neuron model silent
+            # (LIF J<1, ReLU J<0); zero encoders/decoders make their
+            # contribution exactly zero
+            bias=cat("bias", pad_val=-1.0),
+            encoders=cat("encoders"),
+            scaled_encoders=cat("scaled_encoders"),
             # per-element eval points so any direct solve on the merged
             # group addresses the right rows (routes solve via the proxy)
             eval_points=np.concatenate(
                 [np.broadcast_to(b.eval_points,
                                  (b.k,) + b.eval_points.shape)
-                 for _, b in members]))
+                 for _, b in members]
+                + ([np.broadcast_to(first.eval_points,
+                                    (pad_rows,) + first.eval_points.shape)]
+                   if pad_rows else [])))
         off = 0
         for ea, b in members:
             built_by_obj[id(ea)] = merged
@@ -799,9 +823,20 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             bpre = built_by_obj[id(conn.pre)]
             assert bpre is bpost, "batched recurrent must be self-connection"
             bc.pre, bc.pre_kind = bpre, "ea_batch"
-            dec = solve_decoders(bpre, conn.function, conn.solver_reg)  # (k,n,d)
+            # solve on the EA's own (unpadded) proxy build; phantom pad
+            # rows get zero decoders
+            bpre_solve = ea_solve_proxy.get(id(conn.pre), bpre)
+            dec = solve_decoders(bpre_solve, conn.function, conn.solver_reg)
             if conn.element_mask is not None:
                 dec = dec * np.asarray(conn.element_mask)[:, None, None]
+            if int(np.shape(dec)[0]) != bpost.k:   # padded group
+                pad_rows = bpost.k - int(np.shape(dec)[0])
+                z_shape = (pad_rows,) + tuple(np.shape(dec)[1:])
+                if isinstance(dec, np.ndarray):
+                    dec = np.concatenate([dec, np.zeros(z_shape, dec.dtype)])
+                else:
+                    dec = jnp.concatenate(
+                        [dec, jnp.zeros(z_shape, dec.dtype)])
             if getattr(conn, "solver_weights", False):
                 # batched full-weight solve: per element, fold post encoders
                 # into an (n_post, n_pre) matrix; one big batched matmul per
@@ -821,9 +856,14 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             assert pk == "node", "batched input connections take a node pre"
             bc.pre, bc.pre_kind, bc.pre_indices = pre, "node", pidx
             W = np.asarray(conn.transforms, dtype=np.float64)  # (k, dim, pre)
-            assert W.ndim == 3 and W.shape[0] == bpost.k and W.shape[1] == bpost.dim
+            assert W.ndim == 3 and W.shape[1] == bpost.dim
+            assert W.shape[0] in (bpost.k, conn.post.n_ensembles)
             if conn.element_mask is not None:
                 W = W * np.asarray(conn.element_mask)[:, None, None]
+            if W.shape[0] != bpost.k:   # padded group: zero input rows
+                W = np.concatenate(
+                    [W, np.zeros((bpost.k - W.shape[0],) + W.shape[1:],
+                                 W.dtype)])
             bc.weights = W
         bc.synapse = conn.synapse
         if bc.synapse is not None:

@@ -60,9 +60,16 @@ class Simulator:
         self.scan_unroll = scan_unroll
         self.dt = float(dt)
         self.progress = progress
+        # under a model-parallel mesh, pad batched element axes to mesh
+        # multiples so GSPMD shards them evenly (phantom rows are exact
+        # zeros; see builder.build pad_batched_to)
+        pad = 1
+        if mesh is not None and "model" in getattr(mesh, "shape", {}):
+            pad = int(mesh.shape["model"])
         self.model: Model = build(network, dt=dt, seed=seed,
                                   default_neuron_type=default_neuron_type,
-                                  fuse_ensembles=fuse_ensembles)
+                                  fuse_ensembles=fuse_ensembles,
+                                  pad_batched_to=pad)
         self._step_fn = make_step_fn(self.model, dtype=dtype,
                                      matmul_dtype=matmul_dtype)
         # device-resident once: passing host arrays would re-transfer the
