@@ -27,6 +27,19 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+#: TPU v5e (v5 lite) f32 MXU peak — the MFU denominator.  The recurrent
+#: SLAM step is latency/bandwidth-bound (tiny matmuls every dt), so
+#: single-episode MFU is well under 1%; batched episodes raise it (see
+#: --batch-sweep).
+PEAK_F32_FLOPS = 99e12
+
+
+def model_flops_per_step(model) -> float:
+    from sspslam_tpu.utils.profiling import model_utilization_summary
+    return float(sum(r["flops_per_step"]
+                     for r in model_utilization_summary(model)))
+
+
 def build(args):
     from sspslam_tpu import HexagonalSSPSpace, SPSpace
     from sspslam_tpu.models import SLAMNetwork, get_slam_input_functions
@@ -198,12 +211,24 @@ def bench_batched(args, sim):
         rates.append(B * n_chain * seg / el)
         log(f"batched rep {rep}: {rates[-1]:.0f} agg steps/s")
     agg = float(np.median(rates))
+    flops = model_flops_per_step(sim.model)
+    row = {
+        "B": B, "agg_steps_per_s": round(agg, 1),
+        # wall time of ONE vmapped scan iteration (advances B episodes 1 dt)
+        "us_per_iteration": round(1e6 * B / agg, 3),
+        # amortised wall time per episode-step
+        "us_per_episode_step": round(1e6 / agg, 4),
+        "mfu": round(flops * agg / PEAK_F32_FLOPS, 6),
+        "rep_range": [round(min(rates), 1), round(max(rates), 1)],
+    }
     print(json.dumps({
         "metric": f"SLAMNetwork {B}-episode data-parallel aggregate "
                   f"sim-steps/s/chip at dt=1ms (ssp_dim={args.ssp_dim})",
         "value": round(agg, 1), "unit": "steps/s", "vs_baseline": None,
-        "rep_range": [round(min(rates), 1), round(max(rates), 1)],
+        "rep_range": row["rep_range"],
+        "mfu": row["mfu"],
         "n_reps": args.reps}))
+    return row
 
 
 def main():
@@ -239,6 +264,9 @@ def main():
                     help="bf16 matmul inputs (params), f32 accumulation")
     ap.add_argument("--batch", type=int, default=0,
                     help="bench B data-parallel SLAM episodes (aggregate)")
+    ap.add_argument("--batch-sweep", default=None,
+                    help="comma list of B values: DP saturation-knee sweep "
+                         "with MFU per point (e.g. 8,16,32,64)")
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -251,6 +279,17 @@ def main():
 
     sim, probe, space, path = build(args)
 
+    if args.batch_sweep:
+        rows = []
+        for B in [int(x) for x in args.batch_sweep.split(",")]:
+            args.batch = B
+            rows.append(bench_batched(args, sim))
+        print(json.dumps({
+            "metric": "SLAMNetwork DP batch-scaling sweep "
+                      f"(ssp_dim={args.ssp_dim}, dt=1ms)",
+            "value": rows[-1]["agg_steps_per_s"], "unit": "steps/s",
+            "vs_baseline": None, "batch_sweep": rows}))
+        return
     if args.batch > 1:
         bench_batched(args, sim)
         return
@@ -326,6 +365,7 @@ def main():
 
     n_neurons = sum((be.k * be.n if be.batched else be.n)
                     for be in sim.model.ensembles)
+    flops_step = model_flops_per_step(sim.model)
     print(json.dumps({
         "metric": f"SLAMNetwork sim-steps/s/chip at dt=1ms (ssp_dim={args.ssp_dim}, "
                   f"{n_neurons} LIF neurons; median of {args.reps} reps; "
@@ -338,6 +378,8 @@ def main():
                         if np.isfinite(vs_baseline) else None),
         "rep_range": [round(min(rates), 1), round(max(rates), 1)],
         "n_reps": args.reps,
+        "flops_per_step": flops_step,
+        "mfu": round(flops_step * steps_per_s / PEAK_F32_FLOPS, 6),
     }))
 
 

@@ -33,6 +33,14 @@ def main():
     parser.add_argument("--view-rad", default=0.2, type=float)
     parser.add_argument("--update-thres", default=0.2, type=float)
     parser.add_argument("--shift-rate", default=0.2, type=float)
+    parser.add_argument("--intercept", default=0.1, type=float)
+    parser.add_argument("--tuned", action="store_true",
+                        help="apply the tuned loop-closure config found by "
+                             "experiments/tune_loop_closure.py (round 3): "
+                             "update_thres 0.4, shift_rate 0.1, pes_lr 2e-2, "
+                             "voja_lr 1e-4, intercept 0.3 — median distance "
+                             "error 0.043 vs 0.184 at reference defaults on "
+                             "the validate_loop_closure protocol")
     # the reference hardcodes these (run_slam.py:183-184, with a TODO to
     # expose them); SLAMNetwork's own defaults (voja 5e-4 / pes 1e-2) track
     # noticeably better over long horizons than the reference CLI's values
@@ -51,6 +59,9 @@ def main():
                         help="lif | loihi | quantized (model-wide default; "
                              "loihi = dt-grid Loihi-discretised LIF)")
     args = parser.parse_args()
+    if args.tuned:
+        args.update_thres, args.shift_rate = 0.4, 0.1
+        args.pes_lr, args.voja_lr, args.intercept = 2e-2, 1e-4, 0.3
     backend = normalize_backend(args.backend)
     if backend == "cpu":
         force_cpu_backend()
@@ -119,7 +130,7 @@ def main():
                 tau_pi=tau, update_thres=args.update_thres,
                 vel_scaling_factor=vel_scaling_factor,
                 shift_rate=args.shift_rate, voja_learning_rate=args.voja_lr,
-                pes_learning_rate=args.pes_lr, intercept=0.1,
+                pes_learning_rate=args.pes_lr, intercept=args.intercept,
                 clean_up_method=clean_up_method,
                 gc_n_neurons=args.gc_n_neurons,
                 voja=not args.no_voja, seed=args.seed)

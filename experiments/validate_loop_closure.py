@@ -49,7 +49,15 @@ def main():
     ap.add_argument("--shift-rate", type=float, default=0.2)
     ap.add_argument("--voja-lr", type=float, default=1e-4)
     ap.add_argument("--pes-lr", type=float, default=5e-3)
+    ap.add_argument("--intercept", type=float, default=0.1)
+    ap.add_argument("--tuned", action="store_true",
+                    help="tuned config from tune_loop_closure.py (round 3): "
+                         "update_thres 0.4, shift_rate 0.1, pes 2e-2, "
+                         "voja 1e-4, intercept 0.3")
     args = ap.parse_args()
+    if args.tuned:
+        args.update_thres, args.shift_rate = 0.4, 0.1
+        args.pes_lr, args.voja_lr, args.intercept = 2e-2, 1e-4, 0.3
 
     dt = 0.001
     T = args.T
@@ -96,7 +104,7 @@ def main():
                            update_thres=args.update_thres,
                            shift_rate=args.shift_rate,
                            voja_learning_rate=args.voja_lr,
-                           pes_learning_rate=args.pes_lr, intercept=0.1,
+                           pes_learning_rate=args.pes_lr, intercept=args.intercept,
                            vel_scaling_factor=scale, seed=args.seed)
         Connection(vel, slam.velocity_input, synapse=None)
         Connection(init_node, slam.pathintegrator.input, synapse=None)
