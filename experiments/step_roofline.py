@@ -37,7 +37,10 @@ def main():
     ap.add_argument("--circonv-n-neurons", type=int, default=100)
     ap.add_argument("--n-landmarks", type=int, default=10)
     ap.add_argument("--cleanup-samples", type=int, default=100)
-    ap.add_argument("--seg", type=int, default=1000)
+    # seg == unroll: the scan fully unrolls (no while loop), so XLA's
+    # cost analysis counts exactly seg steps (a while body is counted
+    # ONCE regardless of trip count)
+    ap.add_argument("--seg", type=int, default=8)
     ap.add_argument("--scan-unroll", type=int, default=8)
     ap.add_argument("--peak-flops", type=float, default=99e12,
                     help="f32 MXU peak FLOP/s (TPU v5e)")

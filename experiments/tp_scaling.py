@@ -29,6 +29,10 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# hoist the clean-up sample bank into the traced params so its similarity
+# matvec can SHARD over the mesh (params_shardings) instead of running
+# replicated on every device (~2 MFLOP/step at reference scale)
+os.environ.setdefault("SSPSLAM_HOIST_CLEANUP", "1")
 
 
 def log(*a):
@@ -145,13 +149,18 @@ def main():
             lambda x, s: jax.device_put(jnp.asarray(x), s),
             model.initial_state(), shardings)
 
-        def scan_fn(state, xs):
+        def scan_fn(state, xs, params):
             def body(carry, x):
                 return step(carry, x, params)
             return jax.lax.scan(body, state, xs, unroll=4)
 
-        fn = jax.jit(scan_fn)
-        lowered = fn.lower(state0, xs_cols)
+        from sspslam_tpu.parallel.sharding import (params_shardings,
+                                                   replicated)
+        rep = replicated(mesh)
+        fn = jax.jit(scan_fn,
+                     in_shardings=(shardings, [rep] * len(xs_cols),
+                                   params_shardings(params, mesh)))
+        lowered = fn.lower(state0, xs_cols, params)
         compiled = lowered.compile()
         cost = compiled.cost_analysis()
         if isinstance(cost, list):
@@ -159,12 +168,12 @@ def main():
         flops = float(cost.get("flops", float("nan"))) if cost else float("nan")
         stats = collective_stats(compiled)
 
-        out = fn(state0, xs_cols)
+        out = fn(state0, xs_cols, params)
         jax.block_until_ready(out)
         times = []
         for _ in range(args.reps):
             t0 = time.time()
-            out = fn(state0, xs_cols)
+            out = fn(state0, xs_cols, params)
             jax.block_until_ready(out)
             times.append(time.time() - t0)
         med = float(np.median(times))

@@ -78,6 +78,11 @@ class BuiltEnsemble:
     encoders: np.ndarray          # (n, dim) or (k, n, dim) unit rows
     scaled_encoders: np.ndarray   # encoders * gain / radius
     eval_points: np.ndarray       # (P, dim) in represented space
+    #: phantom (silent) neurons appended to the neuron axis so it divides a
+    #: model-parallel mesh: zero encoders, bias -1 — never spike, decoders
+    #: solve to exact zero rows.  User-facing surfaces (neuron transforms,
+    #: activity probes) address the LOGICAL n = n - n_pad.
+    n_pad: int = 0
     voja_conn_index: Optional[int] = None  # encoders live in carry if set
     _acts_cache: Optional[np.ndarray] = None
 
@@ -256,8 +261,18 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         ep = _eval_points_of(ens.eval_points, ens.n_eval_points, n, d,
                              ens.radius, rng)
         scaled = enc * (gain / ens.radius)[:, None]
+        n_pad = 0
+        if pad_batched_to > 1 and n % pad_batched_to:
+            # silent phantom neurons: the axis divides the mesh, decoders
+            # solve to zero rows, learning leaves the rows at zero
+            n_pad = pad_batched_to - n % pad_batched_to
+            gain = np.concatenate([gain, np.zeros(n_pad)])
+            bias = np.concatenate([bias, np.full(n_pad, -1.0)])
+            enc = np.concatenate([enc, np.zeros((n_pad, d))])
+            scaled = np.concatenate([scaled, np.zeros((n_pad, d))])
+            n = n + n_pad
         return BuiltEnsemble(ens, idx, False, 1, n, d, ens.radius, nt,
-                             gain, bias, enc, scaled, ep)
+                             gain, bias, enc, scaled, ep, n_pad=n_pad)
 
     def build_array(ea: EnsembleArray, idx: int) -> BuiltEnsemble:
         proto = ea._proto
@@ -330,7 +345,8 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
             scaled_encoders=np.stack([b.scaled_encoders
                                       for _, b in members]),
             # per-element eval points: (k, P, dim)
-            eval_points=np.stack([b.eval_points for _, b in members]))
+            eval_points=np.stack([b.eval_points for _, b in members]),
+            n_pad=members[0][1].n_pad)
         for j, (ens, _) in enumerate(members):
             built_by_obj[id(ens)] = merged
             fused_elem[id(ens)] = j
@@ -590,9 +606,10 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         elif kind == "ea_elem":
             s = pre.dim
         elif kind == "neurons":
+            nl = pre.n - pre.n_pad
             if elem_index is not None:  # one element of a fused group
-                return pre.n
-            return pre.k * pre.n if pre.batched else pre.n
+                return nl
+            return pre.k * nl if pre.batched else nl
         else:
             raise TypeError(kind)
         return len(indices) if indices is not None else s
@@ -607,9 +624,10 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
         if kind == "ea_elem":
             return post.dim
         if kind == "neurons":
+            nl = post.n - post.n_pad
             if elem_index is not None:  # one element of a fused group
-                return post.n
-            return post.k * post.n if post.batched else post.n
+                return nl
+            return post.k * nl if post.batched else nl
         if kind == "pes":
             return post.size_in
         if kind == "voja":
@@ -983,9 +1001,10 @@ def _probe_shape(bp: BuiltProbe) -> Tuple[int, ...]:
         return (bp.target.dim,)
     if bp.kind in ("activities", "voltage"):
         be = bp.target
+        nl = be.n - be.n_pad
         if bp.elem_index is not None:
-            return (be.n,)
-        return (be.k, be.n) if be.batched else (be.n,)
+            return (nl,)
+        return (be.k, nl) if be.batched else (nl,)
     if bp.kind == "weights":
         d = bp.target.decoders.shape[-1]
         n = bp.target.pre.n if bp.target.pre_kind.startswith("e") else None

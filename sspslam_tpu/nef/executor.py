@@ -294,9 +294,14 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
                     act = act[off:off + kk]
                 return ein("kn,knd->kd", act, decoders_of(bc))
             if bc.pre_kind == "neurons":
+                nl = bc.pre.n - bc.pre.n_pad
                 if bc.ea_elem_index is not None:  # fused-group element
-                    return act[bc.ea_elem_index]
-                return act.reshape(-1)
+                    v = act[bc.ea_elem_index]
+                    return v if (bc.full_weights or bc.pre.n_pad == 0) \
+                        else v[:nl]
+                if bc.full_weights or bc.pre.n_pad == 0:
+                    return act.reshape(-1)
+                return act[..., :nl].reshape(-1)
             if bc.pre_kind == "ea_neurons":
                 if bc.ea_rows is not None:
                     off, kk = bc.ea_rows
@@ -414,10 +419,17 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
                     J = matmul(E, x) + p["bias"]
                 for bc in ens_cur.get(be.index, []):
                     v = conn_output(bc)
-                    if bc.post_elem_index is not None:  # fused-group element
-                        J = J.at[bc.post_elem_index].add(v)
+                    nl = be.n - be.n_pad
+                    if bc.full_weights or be.n_pad == 0:
+                        if bc.post_elem_index is not None:  # fused element
+                            J = J.at[bc.post_elem_index].add(v)
+                        else:
+                            J = J + v.reshape(J.shape)
+                    elif bc.post_elem_index is not None:
+                        J = J.at[bc.post_elem_index, :nl].add(v)
                     else:
-                        J = J + v.reshape(J.shape)
+                        J = J.at[..., :nl].add(
+                            v.reshape(J.shape[:-1] + (nl,)))
                 ns, out = be.neuron_type.step(new_neurons[be.index], J, dt)
                 new_neurons[be.index] = ns
                 sig_act[be.index] = out
@@ -464,7 +476,8 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
                         else sig_act[bc.pre.index])
                 new_learned[bc.learned_slot] = learning_ops.pes_update(
                     learned[bc.learned_slot], acts, err,
-                    params["hyper"]["lr"][bc.learned_slot], dt)
+                    params["hyper"]["lr"][bc.learned_slot], dt,
+                    n_neurons=bc.pre.n - bc.pre.n_pad)
             elif bc.voja_rule is not None:
                 gate = jnp.zeros((1,), dtype)
                 for rci in bc.rule_target_conns:
@@ -495,10 +508,14 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
                 v = sig_act[bp.target.index]
                 if bp.elem_index is not None:
                     v = v[bp.elem_index]
+                if bp.target.n_pad:
+                    v = v[..., :bp.target.n - bp.target.n_pad]
             elif bp.kind == "voltage":
                 v = new_neurons[bp.target.index]["voltage"]
                 if bp.elem_index is not None:
                     v = v[bp.elem_index]
+                if bp.target.n_pad:
+                    v = v[..., :bp.target.n - bp.target.n_pad]
             elif bp.kind == "weights":
                 D = (new_learned[bp.target.learned_slot]
                      if bp.target.learned_slot else conn_const[str(bp.target.index)]["D"])

@@ -182,9 +182,14 @@ class NumpyStepper:
                     act = act[off:off + kk]
                 return np.einsum("kn,knd->kd", act, decoders_of(bc))
             if bc.pre_kind == "neurons":
+                nl = bc.pre.n - bc.pre.n_pad
                 if bc.ea_elem_index is not None:  # fused-group element
-                    return act[bc.ea_elem_index]
-                return act.reshape(-1)
+                    v = act[bc.ea_elem_index]
+                    return v if (bc.full_weights or bc.pre.n_pad == 0) \
+                        else v[:nl]
+                if bc.full_weights or bc.pre.n_pad == 0:
+                    return act.reshape(-1)
+                return act[..., :nl].reshape(-1)
             if bc.pre_kind == "ea_neurons":
                 if bc.ea_rows is not None:
                     off, kk = bc.ea_rows
@@ -287,11 +292,20 @@ class NumpyStepper:
                     J = E @ x + be.bias.astype(np.float32)
                 for bc in self.ens_cur.get(be.index, []):
                     v = conn_output(bc)
-                    if bc.post_elem_index is not None:  # fused-group element
+                    nl = be.n - be.n_pad
+                    if bc.full_weights or be.n_pad == 0:
+                        if bc.post_elem_index is not None:  # fused element
+                            J = J.copy()
+                            J[bc.post_elem_index] += v
+                        else:
+                            J = J + (v.reshape(J.shape)
+                                     if v.size == J.size else v)
+                    elif bc.post_elem_index is not None:
                         J = J.copy()
-                        J[bc.post_elem_index] += v
+                        J[bc.post_elem_index, :nl] += v
                     else:
-                        J = J + (v.reshape(J.shape) if v.size == J.size else v)
+                        J = J.copy()
+                        J[..., :nl] += v.reshape(J.shape[:-1] + (nl,))
                 ns, out = _neuron_step_np(be.neuron_type,
                                           st["neurons"][be.index], J, dt)
                 st["neurons"][be.index] = ns
@@ -325,7 +339,8 @@ class NumpyStepper:
                 acts = (new_filters[bc.pes_act_filt_index]
                         if bc.pes_act_filt_index is not None
                         else sig_act[bc.pre.index])
-                alpha = bc.pes_rule.learning_rate * dt / bc.decoders.shape[0]
+                alpha = (bc.pes_rule.learning_rate * dt
+                         / (bc.pre.n - bc.pre.n_pad))
                 learned[bc.learned_slot] = (
                     learned[bc.learned_slot] - alpha * np.outer(acts, err))
             elif bc.voja_rule is not None:
@@ -358,10 +373,14 @@ class NumpyStepper:
                 v = sig_act[bp.target.index]
                 if bp.elem_index is not None:
                     v = v[bp.elem_index]
+                if bp.target.n_pad:
+                    v = v[..., :bp.target.n - bp.target.n_pad]
             elif bp.kind == "voltage":
                 v = st["neurons"][bp.target.index]["voltage"]
                 if bp.elem_index is not None:
                     v = v[bp.elem_index]
+                if bp.target.n_pad:
+                    v = v[..., :bp.target.n - bp.target.n_pad]
             elif bp.kind == "weights":
                 D = (learned[bp.target.learned_slot]
                      if bp.target.learned_slot

@@ -143,10 +143,11 @@ class Simulator:
                                     unroll=unroll)
 
             if self.mesh is not None:
-                from ..parallel.sharding import state_shardings, replicated
+                from ..parallel.sharding import (params_shardings, replicated,
+                                                 state_shardings)
                 sh = state_shardings(self.model, self.mesh)
                 rep = replicated(self.mesh)
-                params_sh = jax.tree_util.tree_map(lambda _: rep, self.params)
+                params_sh = params_shardings(self.params, self.mesh)
                 run_segment = jax.jit(
                     run_segment,
                     in_shardings=(sh, rep, params_sh),
@@ -182,10 +183,11 @@ class Simulator:
                                     unroll=unroll)
 
             if self.mesh is not None:
-                from ..parallel.sharding import state_shardings, replicated
+                from ..parallel.sharding import (params_shardings, replicated,
+                                                 state_shardings)
                 sh = state_shardings(self.model, self.mesh)
                 rep = replicated(self.mesh)
-                params_sh = jax.tree_util.tree_map(lambda _: rep, self.params)
+                params_sh = params_shardings(self.params, self.mesh)
                 run_segment_dev = jax.jit(
                     run_segment_dev,
                     in_shardings=(sh, rep, rep, params_sh),

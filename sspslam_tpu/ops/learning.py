@@ -13,7 +13,8 @@ import jax.numpy as jnp
 __all__ = ["pes_update", "voja_update"]
 
 
-def pes_update(decoders, activities, error, learning_rate, dt):
+def pes_update(decoders, activities, error, learning_rate, dt,
+               n_neurons=None):
     """PES decoder update.
 
     decoders : (n, d) current decoders (value = activities @ decoders).
@@ -21,8 +22,11 @@ def pes_update(decoders, activities, error, learning_rate, dt):
     error : (d,) error signal (recall - target convention: the rule moves the
         decoded value *down* the error).
     Delta = -(learning_rate * dt / n) * outer(activities, error).
+    ``n_neurons``: LOGICAL neuron count for the rate normalisation — pass
+    it when the decoder rows include phantom mesh-padding neurons so the
+    padded build stays bitwise-identical to the unpadded one.
     """
-    n = decoders.shape[0]
+    n = n_neurons if n_neurons is not None else decoders.shape[0]
     alpha = learning_rate * dt / n
     return decoders - alpha * jnp.outer(activities, error)
 

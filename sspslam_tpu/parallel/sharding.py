@@ -48,16 +48,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def _shard_leading(mesh: Mesh, axis: str, ndim: int, size0: int,
-                   min_size: int = 2) -> NamedSharding:
-    """Shard the leading axis over ``axis`` when it is worth it.
+                   min_size: int = 2, size1: int = 0) -> NamedSharding:
+    """Shard the leading axis over ``axis`` when it is worth it, falling
+    back to axis 1 (e.g. the NEURON axis of a small-k fused-singles group
+    like the k=3 memory/error/recall trio, whose n is mesh-padded).
 
-    device_put requires divisibility; non-divisible axes stay replicated at
-    rest (GSPMD still partitions the einsums inside jit)."""
+    device_put requires divisibility; axes divisible by neither stay
+    replicated at rest (GSPMD still partitions the einsums inside jit)."""
     n = mesh.shape[axis]
-    if size0 < max(n, min_size) or size0 % n != 0:
-        return replicated(mesh)
-    spec = [axis] + [None] * (ndim - 1)
-    return NamedSharding(mesh, P(*spec))
+    if size0 >= max(n, min_size) and size0 % n == 0:
+        spec = [axis] + [None] * (ndim - 1)
+        return NamedSharding(mesh, P(*spec))
+    if ndim >= 2 and size1 >= max(n, min_size) and size1 % n == 0:
+        spec = [None, axis] + [None] * (ndim - 2)
+        return NamedSharding(mesh, P(*spec))
+    return replicated(mesh)
 
 
 def state_shardings(model: Model, mesh: Mesh, axis: str = "model"):
@@ -72,14 +77,17 @@ def state_shardings(model: Model, mesh: Mesh, axis: str = "model"):
         spec = {}
         proto = be.neuron_type.init_state((be.k, be.n) if be.batched else (be.n,))
         for key, val in proto.items():
-            spec[key] = _shard_leading(mesh, axis, val.ndim,
-                                       val.shape[0] if val.ndim else 1)
+            spec[key] = _shard_leading(
+                mesh, axis, val.ndim,
+                val.shape[0] if val.ndim else 1,
+                size1=val.shape[1] if val.ndim >= 2 else 0)
         neurons.append(spec)
 
     filters = []
     for shape, _a, _b in model.filter_specs:
         if len(shape) >= 2:
-            filters.append(_shard_leading(mesh, axis, len(shape), shape[0]))
+            filters.append(_shard_leading(mesh, axis, len(shape), shape[0],
+                                          size1=shape[1]))
         elif len(shape) == 1 and shape[0] >= 4 * mesh.shape[axis]:
             filters.append(_shard_leading(mesh, axis, 1, shape[0]))
         else:
@@ -102,3 +110,20 @@ def shard_state(model: Model, state, mesh: Mesh, axis: str = "model"):
     """device_put the carry according to :func:`state_shardings`."""
     shardings = state_shardings(model, mesh, axis)
     return jax.tree_util.tree_map(jax.device_put, state, shardings)
+
+
+def params_shardings(params, mesh: Mesh, axis: str = "model"):
+    """Shardings for the traced parameter pytree: replicated, EXCEPT large
+    hoisted 2-D banks (the clean-up sample bank under
+    SSPSLAM_HOIST_CLEANUP=1) which shard over rows — the similarity matvec
+    then partitions instead of replicating ~2 MFLOP/step on every device.
+    """
+    rep = replicated(mesh)
+    sh = jax.tree_util.tree_map(lambda _: rep, params)
+    n = mesh.shape[axis]
+    for key, d in params.get("hoisted", {}).items():
+        for k2, v in d.items():
+            if (np.ndim(v) == 2 and np.shape(v)[0] >= n
+                    and np.shape(v)[0] % n == 0):
+                sh["hoisted"][key][k2] = NamedSharding(mesh, P(axis, None))
+    return sh

@@ -178,3 +178,88 @@ class TestSeedSweep:
         # different seeds genuinely differ
         assert not np.allclose(results[0][probes[0]], results[1][probes[1]],
                                atol=1e-3)
+
+
+class TestMeshPadding:
+    """pad_batched_to: phantom VCO rows / phantom neurons must leave the
+    simulation bitwise identical to the unpadded build (their encoders and
+    decoders are exact zeros and they never spike), while making every EA
+    element axis and padded neuron axis divide the mesh."""
+
+    def _slam_net(self, space, seed=0):
+        import numpy as np
+        from sspslam_tpu import SPSpace
+        from sspslam_tpu.models import SLAMNetwork, get_slam_input_functions
+        from sspslam_tpu.nef import Connection, Network, Node, Probe
+        from sspslam_tpu.nef.processes import TimeTable
+        dt = 0.001
+        n_steps = 150
+        ts = dt * np.arange(n_steps)
+        path = 0.5 * np.stack([np.sin(2 * np.pi * ts / 0.15),
+                               np.cos(2 * np.pi * ts / 0.15)], 1)
+        vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
+        rng = np.random.default_rng(seed)
+        landmarks = rng.uniform(-0.3, 0.3, size=(2, 2))
+        vec_to_lm = landmarks[None, :, :] - path[:, None, :]
+        lm_space = SPSpace(2, space.ssp_dim, seed=seed)
+        fns = get_slam_input_functions(space, lm_space, vels, vec_to_lm, 2.0)
+        (velocity_func, scale, in_view_f, _, sp_f, _, vecssp_f) = fns
+        with Network(seed=seed) as net:
+            vel = Node(velocity_func)
+            lm_id = Node(sp_f)
+            lm_ssp = Node(vecssp_f)
+            in_view = Node(in_view_f)
+            # 61 neurons: indivisible by 8, forces n_pad on every ensemble
+            slam = SLAMNetwork(space, lm_space, 2.0, 2, pi_n_neurons=61,
+                               mem_n_neurons=77, circonv_n_neurons=26,
+                               vel_scaling_factor=scale,
+                               cleanup_samples_per_dim=10, seed=seed)
+            Connection(vel, slam.velocity_input, synapse=None)
+            Connection(lm_id, slam.landmark_id_input, synapse=None)
+            Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
+            Connection(in_view, slam.no_landmark_in_view, synapse=None)
+            p_out = Probe(slam.pathintegrator.output, synapse=0.02)
+            p_act = Probe(slam.assomemory.memory.neurons)
+        return net, p_out, p_act, n_steps
+
+    def test_padded_build_bitwise_identical(self, space):
+        import numpy as np
+        from sspslam_tpu.nef import Simulator
+        from sspslam_tpu.nef.builder import build
+        netA, pA, paA, n = self._slam_net(space)
+        simA = Simulator(netA, seed=0)
+        assert all(be.n_pad == 0 for be in simA.model.ensembles)
+        simA.run_steps(n, segment_steps=n)
+
+        netB, pB, paB, _ = self._slam_net(space)
+        # padded build WITHOUT a mesh: exercises the phantom rows on the
+        # ordinary single-device path
+        simB = Simulator.__new__(Simulator)
+        Simulator.__init__(simB, netB, seed=0)
+        simB.model = build(netB, dt=0.001, seed=0, pad_batched_to=8)
+        from sspslam_tpu.nef.executor import build_params, make_step_fn
+        import jax
+        simB._step_fn = make_step_fn(simB.model)
+        simB.params = jax.device_put(build_params(simB.model))
+        simB._scan_cache = {}
+        simB.state = simB.model.initial_state()
+        simB._probe_data = {bp.index: [] for bp in simB.model.probes}
+        simB._sparse_steps = {bp.index: [] for bp in simB.model.probes}
+        assert any(be.n_pad > 0 for be in simB.model.ensembles)
+        from sspslam_tpu.nef.graph import EnsembleArray
+        for be in simB.model.ensembles:
+            obj = be.obj[0] if isinstance(be.obj, tuple) else be.obj
+            if isinstance(obj, EnsembleArray):
+                assert be.k % 8 == 0, (be.k, be.n)   # EAs shard over k
+            else:
+                assert be.n % 8 == 0, (be.k, be.n)   # singles over neurons
+        simB.run_steps(n, segment_steps=n)
+
+        outA = np.asarray(simA.data[pA])
+        outB = np.asarray(simB.data[pB])
+        assert np.array_equal(outA, outB), np.max(np.abs(outA - outB))
+        # activity probes report the LOGICAL neuron count
+        actA = np.asarray(simA.data[paA])
+        actB = np.asarray(simB.data[paB])
+        assert actA.shape == actB.shape == (n, 77)
+        assert np.array_equal(actA, actB)
