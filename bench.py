@@ -184,7 +184,12 @@ def bench_batched(args, sim):
 
     def scan_fn(state, xs):
         def body(c, x):
-            return vstep(c, x, params)
+            c2, _emits = vstep(c, x, params)
+            # drop probe emissions at TRACE level: no (seg, B, d) output
+            # buffers exist in the compiled program at all — at B>=32 the
+            # ~124 MB/call probe allocations were churning the device
+            # allocator and decaying throughput across reps
+            return c2, None
         return jax.lax.scan(body, state, xs, unroll=unroll)
 
     fn = jax.jit(scan_fn)

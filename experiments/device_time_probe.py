@@ -51,7 +51,7 @@ def main():
         n_landmarks=args.n_landmarks, cleanup_samples=args.cleanup_samples,
         seed=args.seed, warmup_steps=200, segment_steps=args.segment_steps,
         timed_steps=args.steps, baseline_steps=0, scan_unroll=args.scan_unroll,
-        reps=1, bf16=args.bf16, batch=0, skip_baseline=True)
+        reps=1, bf16=args.bf16, batch=0, skip_baseline=True, world_T=14.0)
     sim, p, space, path = bench.build(bargs)
 
     import jax
