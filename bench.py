@@ -251,10 +251,11 @@ def main():
     ap.add_argument("--world-T", type=float, default=14.0,
                     help="trajectory length in seconds (fixed, independent "
                          "of the timing knobs)")
-    # segment length 5000 measured fastest on the tunnel (segment sweep,
-    # round 3): device-resident tables make long segments free of input
-    # upload, and fewer calls amortise dispatch
-    ap.add_argument("--segment-steps", type=int, default=5000)
+    # segment length 10000 measured fastest on the tunnel (segment sweep,
+    # round 3: 5k/10k/25k/50k -> 66.1/66.9/66.8/64.6k steps/s):
+    # device-resident tables make long segments free of input upload, and
+    # fewer calls amortise dispatch; 50k regresses (per-call buffers)
+    ap.add_argument("--segment-steps", type=int, default=10000)
     # long timed blocks amortise the per-rep sync() barrier (a host
     # round trip over the tunnel, ~10-40 ms)
     ap.add_argument("--timed-steps", type=int, default=50000)
@@ -341,7 +342,8 @@ def main():
     real = space.encode(path[:k])
     sims = np.sum(out * real, axis=1) / np.maximum(
         np.linalg.norm(out, axis=1), 1e-9)
-    log(f"tracking cosine sim (last quarter): {np.mean(sims[-k // 4:]):.3f}")
+    tracking_cos = float(np.mean(sims[-k // 4:]))
+    log(f"tracking cosine sim (last quarter): {tracking_cos:.3f}")
 
     vs_baseline = float("nan")
     if not args.skip_baseline:
@@ -385,6 +387,11 @@ def main():
         "n_reps": args.reps,
         "flops_per_step": flops_step,
         "mfu": round(flops_step * steps_per_s / PEAK_F32_FLOPS, 6),
+        # sanity metric: cosine(path-integrator output, encode(true pos))
+        # over the last quarter of the 14 s world (PI+SLAM correction at
+        # reference-default hyperparameters; the loop-closure quality
+        # protocol with tuned config lives in validate_loop_closure.py)
+        "tracking_cosine": round(tracking_cos, 4),
     }))
 
 
