@@ -1,7 +1,8 @@
 """NEF-on-JAX engine: declarative graph -> jitted lax.scan simulation."""
 
 from ..ops.neurons import (LIF, LIFRate, LoihiLIF, QuantizedLIF,
-                           RectifiedLinear, SpikingRectifiedLinear)
+                           RectifiedLinear, SpikingRectifiedLinear,
+                           SurrogateLIF)
 from ..ops.synapses import Alpha, Lowpass
 from .distributions import (Choice, CosineSimilarity, Distribution,
                             Exponential, Rd, ScatteredHypersphere, Sobol,
@@ -15,7 +16,7 @@ from .simulator import Simulator
 
 __all__ = [
     "LIF", "LIFRate", "LoihiLIF", "QuantizedLIF", "RectifiedLinear",
-    "SpikingRectifiedLinear",
+    "SpikingRectifiedLinear", "SurrogateLIF",
     "Alpha", "Lowpass",
     "Choice", "CosineSimilarity", "Distribution", "Exponential",
     "Rd", "ScatteredHypersphere", "Sobol", "SSPMixedEval", "SSPSobol",

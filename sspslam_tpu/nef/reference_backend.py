@@ -42,7 +42,7 @@ def _lif_step_np(nt, state, J, dt):
 
 def _neuron_step_np(nt, state, J, dt):
     kind = type(nt).__name__
-    if kind == "LIF":
+    if kind in ("LIF", "SurrogateLIF"):  # identical forward pass
         return _lif_step_np(nt, state, J, dt)
     if kind == "QuantizedLIF":
         st, out = _lif_step_np(nt, state, J, dt)
@@ -108,7 +108,8 @@ class NumpyStepper:
             nt = be.neuron_type
             if nt.spiking:
                 st = {"voltage": np.zeros(shape, np.float32)}
-                if type(nt).__name__ in ("LIF", "QuantizedLIF", "LoihiLIF"):
+                if type(nt).__name__ in ("LIF", "QuantizedLIF", "LoihiLIF",
+                                         "SurrogateLIF"):
                     st["refractory"] = np.zeros(shape, np.float32)
                 neurons.append(st)
             else:

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["NeuronType", "LIF", "LIFRate", "RectifiedLinear",
-           "SpikingRectifiedLinear", "QuantizedLIF", "LoihiLIF"]
+           "SpikingRectifiedLinear", "QuantizedLIF", "LoihiLIF",
+           "SurrogateLIF"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,6 +208,70 @@ class LoihiLIF(LIF):
         voltage = jnp.where(spiked, 0.0, jnp.maximum(voltage, self.min_voltage))
         tau_ref_q = dt * np.round(self.tau_ref / dt)
         refractory = jnp.where(spiked, tau_ref_q + dt, refractory)
+        return {"voltage": voltage, "refractory": refractory}, out
+
+
+@jax.custom_jvp
+def _spike_surrogate(x, beta):
+    """Heaviside(x) forward; fast-sigmoid pseudo-derivative backward.
+
+    The standard surrogate-gradient trick for backprop through spiking
+    networks: the primal is the exact 0/1 spike indicator, the tangent is
+    d/dx [sigmoid-like] = beta / (beta*|x| + 1)^2 (SuperSpike / Zenke &
+    Ganguli 2018 form), so ``jax.grad`` sees a smooth spike while the
+    forward simulation stays bit-identical to the hard threshold."""
+    x = jnp.asarray(x)
+    return (x > 0).astype(x.dtype)
+
+
+@_spike_surrogate.defjvp
+def _spike_surrogate_jvp(primals, tangents):
+    x, beta = primals
+    dx, _ = tangents
+    y = _spike_surrogate(x, beta)
+    sg = beta / jnp.square(beta * jnp.abs(x) + 1.0)
+    return y, sg * dx
+
+
+@dataclasses.dataclass(frozen=True)
+class SurrogateLIF(LIF):
+    """Spiking LIF whose FORWARD pass is :class:`LIF` (same spike trains;
+    agreement to f32 roundoff) but whose spike nonlinearity carries a
+    surrogate gradient, making the simulator's ``lax.scan`` differentiable
+    end-to-end (``sspslam_tpu.train``).
+
+    The reference stack has no trainable-by-backprop path (nengo_dl fills
+    that role in the nengo ecosystem); on TPU it falls out of the jitted
+    functional step: spikes become ``_spike_surrogate(v - 1)`` — 0/1 in the
+    primal, a fast-sigmoid bump of width ``1/beta`` in the tangent — and all
+    select/reset arithmetic is written multiplicatively so gradients flow
+    through voltage, current, and (via the chain through encoders/decoders)
+    every upstream parameter.
+
+    ``beta``: surrogate sharpness; larger = closer to the true (zero-a.e.)
+    derivative, smaller = smoother/lower-variance gradients.
+    """
+
+    beta: float = 10.0
+
+    def step(self, state, J, dt):
+        voltage = state["voltage"]
+        refractory = state["refractory"] - dt
+        delta_t = jnp.clip(dt - refractory, 0.0, dt)
+        voltage = voltage + (J - voltage) * -jnp.expm1(-delta_t / self.tau_rc)
+
+        s = _spike_surrogate(voltage - 1.0, self.beta)   # 0/1, smooth tangent
+        spiked = voltage > 1.0                            # hard mask for guards
+        denom = jnp.where(spiked, jnp.maximum(J - 1.0, 1e-12), 1.0)
+        overshoot = jnp.clip((voltage - 1.0) / denom, 0.0, 1.0 - 1e-6)
+        t_spike = dt + self.tau_rc * jnp.log1p(-overshoot)
+
+        out = s * (self.amplitude / dt)
+        # multiplicative reset/select: forward-equal to LIF's where() (s is
+        # exactly 0 or 1) but differentiable through both branches
+        voltage = (1.0 - s) * jnp.maximum(voltage, self.min_voltage)
+        refractory = (s * (self.tau_ref + t_spike)
+                      + (1.0 - s) * refractory)
         return {"voltage": voltage, "refractory": refractory}, out
 
 

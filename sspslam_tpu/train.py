@@ -1,0 +1,205 @@
+"""Gradient-based training through the simulator (the nengo_dl analog,
+TPU-native).
+
+The engine's per-dt update is already a pure function
+``step(state, xs, params)`` with every weight — scaled encoders, solved
+decoders, connection transforms — in the traced ``params`` pytree
+(nef/executor.py:build_params).  That makes end-to-end backprop a
+composition, not a feature port:
+
+* :func:`make_episode_fn` closes a whole episode (``lax.scan`` over the
+  step) into a differentiable ``episode(params, xs, state0)``, with
+  sqrt-T rematerialisation — the time axis is split into segments, each
+  segment scan wrapped in ``jax.checkpoint`` so the backward pass stores
+  only segment-boundary carries and recomputes activations within a
+  segment (memory ``O(T/S · state + S · activations)`` instead of
+  ``O(T · activations)``);
+* :class:`~sspslam_tpu.nef.SurrogateLIF` makes spiking dynamics
+  differentiable: forward bit-equal to ``LIF``, fast-sigmoid surrogate
+  through the spike threshold in the backward pass.  Rate-based training
+  (nengo_dl's default) is ``Simulator(net, default_neuron_type=LIFRate())``;
+* :func:`fit` runs an optax loop over any subset of the parameter tree
+  selected by path predicate (train just one connection's decoders, all
+  encoders, ...), holding the rest frozen.
+
+The reference stack has no trainable-by-backprop path at all (its decoder
+weights come from lstsq solves and PES; nengo_dl fills this role in the
+nengo ecosystem but is not part of the reference).  This module is a
+capability the TPU design gives for free and is therefore *additive* to
+parity — nothing in experiments/ depends on it.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["make_episode_fn", "episode_inputs", "probe_index",
+           "partition_params", "merge_params", "fit"]
+
+
+def probe_index(sim, probe) -> int:
+    """Emit-dict key of ``probe`` in the episode outputs."""
+    bp = next(p for p in sim.model.probes if p.obj is probe)
+    return bp.index
+
+
+def episode_inputs(sim, n_steps: int) -> np.ndarray:
+    """Packed ``(n_steps, sum input widths)`` host table of the network's
+    tabulated input nodes, starting at the simulator's current step."""
+    return sim._pack_cols(sim._tabulate_inputs(n_steps))
+
+
+def make_episode_fn(sim, n_steps: int, segment_steps: Optional[int] = None,
+                    remat: bool = True):
+    """Build ``episode(params, xs_packed, state0) -> (final_state, emits)``.
+
+    ``emits`` maps probe index (see :func:`probe_index`) to the
+    ``(n_steps, ...)`` probe trace; both outputs are differentiable w.r.t.
+    ``params`` (and ``xs_packed``).  ``state0`` defaults are NOT baked in —
+    pass ``sim.model.initial_state()`` (or a checkpointed carry) so one
+    compiled episode serves warm starts.
+
+    ``segment_steps`` controls the remat granularity: the backward pass
+    keeps one carry per segment and recomputes inside.  For a carry of
+    size C and per-step activation residuals of size A, peak memory is
+    ``(n_steps/S)·C + S·A`` — minimised near ``S = sqrt(n_steps·C/A)``;
+    the default 100 is a good setting for the model scales in tests/
+    experiments.  With ``remat=False`` the plain scan stores all residuals
+    (fastest, memory ``O(n_steps·A)``).
+    """
+    step = sim._step_fn
+    splits = sim._input_splits()
+    width = sum(n.size_out for n in sim.model.input_nodes)
+    if segment_steps is None:
+        segment_steps = min(n_steps, 100)
+    seg = int(segment_steps)
+    if n_steps % seg:
+        raise ValueError(
+            f"n_steps={n_steps} must be a multiple of segment_steps={seg} "
+            "(the remat scan needs equal segments)")
+    n_seg = n_steps // seg
+
+    def seg_fn(state, xs_seg, params):
+        cols = [xs_seg[:, a:b] for a, b in splits]
+
+        def body(carry, xs):
+            return step(carry, xs, params)
+        return jax.lax.scan(body, state, cols, length=seg)
+
+    if remat:
+        seg_fn = jax.checkpoint(seg_fn)
+
+    def episode(params, xs_packed, state0):
+        xs_packed = jnp.asarray(xs_packed, jnp.float32)
+        xs3 = xs_packed.reshape(n_seg, seg, width)
+
+        def outer(carry, xs_seg):
+            return seg_fn(carry, xs_seg, params)
+
+        final_state, emits = jax.lax.scan(outer, state0, xs3)
+        emits = jax.tree_util.tree_map(
+            lambda e: e.reshape((n_steps,) + e.shape[2:]), emits)
+        return final_state, emits
+
+    return episode
+
+
+# ---------------------------------------------------------------------------
+# Parameter partitioning: train a path-selected subset, freeze the rest
+# ---------------------------------------------------------------------------
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def partition_params(params, predicate: Callable[[str], bool]):
+    """Split the params pytree into ``(trainable, frozen)`` by a predicate
+    on slash-joined leaf paths (e.g. ``"conn/3/D"``, ``"ens/0/bias"``,
+    ``"ens/1/scaled_encoders"``).  Both trees have the full structure with
+    ``None`` at the complementary leaves; recombine with
+    :func:`merge_params`."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    treedef = jax.tree_util.tree_structure(params)
+    t_leaves, f_leaves = [], []
+    for path, leaf in flat:
+        if predicate(_path_str(path)):
+            t_leaves.append(leaf)
+            f_leaves.append(None)
+        else:
+            t_leaves.append(None)
+            f_leaves.append(leaf)
+    return (jax.tree_util.tree_unflatten(treedef, t_leaves),
+            jax.tree_util.tree_unflatten(treedef, f_leaves))
+
+
+def merge_params(trainable, frozen):
+    """Inverse of :func:`partition_params` (leaf-wise first-non-None)."""
+    return jax.tree_util.tree_map(
+        lambda t, f: f if t is None else t,
+        trainable, frozen, is_leaf=lambda x: x is None)
+
+
+# ---------------------------------------------------------------------------
+# Training loop
+# ---------------------------------------------------------------------------
+
+def fit(episode, params, xs, state0,
+        loss_fn: Callable[[Dict[int, jax.Array], dict], jax.Array],
+        trainable: Callable[[str], bool],
+        optimizer=None, steps: int = 100,
+        callback: Optional[Callable[[int, float], None]] = None
+        ) -> Tuple[dict, list]:
+    """Minimise ``loss_fn(emits, final_state)`` over the path-selected
+    parameter subset with optax (Adam 1e-3 by default).
+
+    Returns ``(updated full params, per-step losses)``.  The update step is
+    jitted once; every iteration is a single device program (forward scan,
+    rematerialised backward, optimizer update).
+
+    Learning-rate scale: Adam's per-coordinate step is ~the learning rate
+    itself, and NEF decoder weights are small (O(1e-3) for a population
+    decoding an O(1) signal) — a 5e-3 rate OVERSHOOTS decoders by >1x per
+    iteration and diverges.  Start around 1e-4..1e-3 when training
+    decoder-scale leaves; encoder-scale leaves (O(1)) tolerate more.
+    """
+    import optax
+    if optimizer is None:
+        optimizer = optax.adam(1e-3)
+
+    train_p, frozen_p = partition_params(params, trainable)
+    train_p = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), train_p)
+    opt_state = optimizer.init(train_p)
+    xs = jnp.asarray(xs, jnp.float32)
+
+    def loss_of(tp):
+        full = merge_params(tp, frozen_p)
+        final_state, emits = episode(full, xs, state0)
+        return loss_fn(emits, final_state)
+
+    @jax.jit
+    def update(tp, opt_state):
+        loss, grads = jax.value_and_grad(loss_of)(tp)
+        updates, opt_state = optimizer.update(grads, opt_state, tp)
+        tp = optax.apply_updates(tp, updates)
+        return tp, opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        train_p, opt_state, loss = update(train_p, opt_state)
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, losses[-1])
+    return merge_params(train_p, frozen_p), losses

@@ -1,0 +1,157 @@
+"""Differentiable-simulation tests (sspslam_tpu.train + SurrogateLIF).
+
+The reference stack has no backprop-through-simulation path (nengo_dl fills
+that role in the nengo ecosystem); here it falls out of the functional
+step design.  These tests pin: surrogate forward == LIF forward exactly,
+gradients flow through whole spiking episodes, rematerialised episodes
+backprop to the same gradients as plain scans, and an optax loop actually
+learns a readout.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sspslam_tpu.nef import (Connection, Ensemble, LIF, LIFRate, Network,
+                             Node, Probe, Simulator, SurrogateLIF, TimeTable)
+from sspslam_tpu import train
+
+
+def _sine_table(n_steps, dt=0.001, freq=2.0):
+    ts = dt * np.arange(1, n_steps + 1)
+    return np.sin(2 * np.pi * freq * ts).astype(np.float32)[:, None]
+
+
+def _build(neuron_type, n_steps, n_neurons=60, seed=3):
+    with Network(seed=seed) as net:
+        inp = Node(TimeTable(_sine_table(n_steps)))
+        ens = Ensemble(n_neurons, 1, neuron_type=neuron_type)
+        Connection(inp, ens, synapse=None)
+        p = Probe(ens, synapse=0.02)
+    sim = Simulator(net, seed=seed)
+    return sim, p
+
+
+class TestSurrogateLIF:
+    def test_forward_equals_lif(self):
+        """SurrogateLIF's primal dynamics are the LIF update: the same
+        build (identical rates_np -> identical decoders) and the same spike
+        trains; traces agree to f32 roundoff (the multiplicative reset
+        fuses differently than LIF's select, so the last bit can differ)."""
+        n = 300
+        sim_a, p_a = _build(LIF(), n)
+        sim_b, p_b = _build(SurrogateLIF(beta=5.0), n)
+        sim_a.run_steps(n)
+        sim_b.run_steps(n)
+        np.testing.assert_allclose(sim_a.data[p_a], sim_b.data[p_b],
+                                   rtol=1e-5, atol=1e-7)
+
+    def test_surrogate_gradient_shape(self):
+        """The spike surrogate's tangent is the fast sigmoid derivative:
+        peaked at the threshold, decaying as 1/(beta|x|+1)^2."""
+        from sspslam_tpu.ops.neurons import _spike_surrogate
+        g = jax.grad(lambda x: _spike_surrogate(x, 10.0))(0.0)
+        assert np.isclose(float(g), 10.0)
+        g_far = jax.grad(lambda x: _spike_surrogate(x, 10.0))(1.0)
+        assert 0 < float(g_far) < 0.1
+        # primal stays the hard threshold
+        assert float(_spike_surrogate(jnp.float32(-0.1), 10.0)) == 0.0
+        assert float(_spike_surrogate(jnp.float32(0.1), 10.0)) == 1.0
+
+
+class TestEpisodeGrad:
+    def test_grad_flows_through_spiking_episode(self):
+        """d(loss)/d(probe decoders) through 200 spiking steps is finite
+        and nonzero (the surrogate carries signal through every spike)."""
+        n = 200
+        sim, p = _build(SurrogateLIF(), n)
+        episode = train.make_episode_fn(sim, n, segment_steps=50)
+        xs = train.episode_inputs(sim, n)
+        pi = train.probe_index(sim, p)
+        target = _sine_table(n)
+
+        def loss_of(params):
+            _, emits = episode(params, xs, sim.model.initial_state())
+            return jnp.mean((emits[pi] - target) ** 2)
+
+        grads = jax.grad(loss_of)(sim.params)
+        g = np.asarray(grads["probe"][str(pi)]["D"])
+        assert np.all(np.isfinite(g))
+        assert np.linalg.norm(g) > 0
+
+    def test_remat_matches_plain_scan_grads(self):
+        """jax.checkpoint segmenting changes memory, not math: gradients
+        agree with the un-rematerialised episode."""
+        n = 120
+        sim, p = _build(LIFRate(), n, n_neurons=40)
+        xs = train.episode_inputs(sim, n)
+        pi = train.probe_index(sim, p)
+        target = 0.5 * _sine_table(n)
+
+        def loss_with(episode):
+            def loss_of(params):
+                _, emits = episode(params, xs, sim.model.initial_state())
+                return jnp.mean((emits[pi] - target) ** 2)
+            return loss_of
+
+        ep_remat = train.make_episode_fn(sim, n, segment_steps=30,
+                                         remat=True)
+        ep_plain = train.make_episode_fn(sim, n, segment_steps=120,
+                                         remat=False)
+        g1 = jax.grad(loss_with(ep_remat))(sim.params)
+        g2 = jax.grad(loss_with(ep_plain))(sim.params)
+        a = np.asarray(g1["probe"][str(pi)]["D"])
+        b = np.asarray(g2["probe"][str(pi)]["D"])
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7)
+
+    def test_segment_divisibility_checked(self):
+        sim, _ = _build(LIFRate(), 100, n_neurons=20)
+        with pytest.raises(ValueError):
+            train.make_episode_fn(sim, 100, segment_steps=33)
+
+
+class TestPartition:
+    def test_partition_and_merge_roundtrip(self):
+        sim, p = _build(LIFRate(), 100, n_neurons=20)
+        pi = train.probe_index(sim, p)
+        pred = lambda path: path == f"probe/{pi}/D"
+        tr, fz = train.partition_params(sim.params, pred)
+        # exactly one trainable leaf
+        t_leaves = jax.tree_util.tree_leaves(tr)
+        assert len(t_leaves) == 1
+        merged = train.merge_params(tr, fz)
+        ref, got = jax.tree_util.tree_leaves(sim.params), \
+            jax.tree_util.tree_leaves(merged)
+        assert len(ref) == len(got)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+
+
+class TestFit:
+    def test_fit_learns_readout(self):
+        """Train ONLY the probe decoders so the readout of x(t) becomes
+        -2*x(t): loss must fall by >10x from the lstsq-identity start."""
+        n = 200
+        sim, p = _build(LIFRate(), n, n_neurons=50)
+        episode = train.make_episode_fn(sim, n, segment_steps=50)
+        xs = train.episode_inputs(sim, n)
+        pi = train.probe_index(sim, p)
+        target = -2.0 * _sine_table(n)
+        # compare only after the synapse settles
+        mask = (np.arange(n) >= 50).astype(np.float32)[:, None]
+
+        def loss_fn(emits, final_state):
+            return jnp.sum(mask * (emits[pi] - target) ** 2) / jnp.sum(mask)
+
+        import optax
+        params2, losses = train.fit(
+            episode, sim.params, xs, sim.model.initial_state(), loss_fn,
+            trainable=lambda path: path == f"probe/{pi}/D",
+            optimizer=optax.adam(3e-3), steps=120)
+        assert losses[-1] < losses[0] / 10, (losses[0], losses[-1])
+        # the trained episode really produces the new readout
+        _, emits = episode(params2, xs, sim.model.initial_state())
+        out = np.asarray(emits[pi])[50:]
+        err = np.sqrt(np.mean((out - target[50:]) ** 2))
+        assert err < 0.35, err
