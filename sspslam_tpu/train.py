@@ -38,13 +38,24 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["make_episode_fn", "episode_inputs", "probe_index",
-           "partition_params", "merge_params", "fit"]
+           "connection_param_path", "partition_params", "merge_params",
+           "fit"]
 
 
 def probe_index(sim, probe) -> int:
     """Emit-dict key of ``probe`` in the episode outputs."""
     bp = next(p for p in sim.model.probes if p.obj is probe)
     return bp.index
+
+
+def connection_param_path(sim, conn) -> str:
+    """Params-tree path of a Connection's solved decoders ("conn/<i>/D"),
+    for use as a :func:`partition_params` / :func:`fit` trainable
+    predicate target."""
+    bc = next(c for c in sim.model.connections if c.obj is conn)
+    if bc.decoders is None:
+        raise ValueError("connection has no decoders (direct/transform-only)")
+    return f"conn/{bc.index}/D"
 
 
 def episode_inputs(sim, n_steps: int) -> np.ndarray:
