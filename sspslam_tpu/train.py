@@ -37,9 +37,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["make_episode_fn", "episode_inputs", "probe_index",
-           "connection_param_path", "partition_params", "merge_params",
-           "fit"]
+__all__ = ["make_episode_fn", "make_batched_episode_fn", "episode_inputs",
+           "batched_initial_state", "probe_index", "connection_param_path",
+           "partition_params", "merge_params", "fit"]
 
 
 def probe_index(sim, probe) -> int:
@@ -119,6 +119,77 @@ def make_episode_fn(sim, n_steps: int, segment_steps: Optional[int] = None,
     return episode
 
 
+def batched_initial_state(sim, batch: int):
+    """``sim.model.initial_state()`` broadcast to a leading episode axis —
+    the ``state0`` of a :func:`make_batched_episode_fn` episode."""
+    return jax.tree_util.tree_map(
+        lambda x: np.broadcast_to(np.asarray(x), (batch,) + np.shape(x)).copy(),
+        sim.model.initial_state())
+
+
+def make_batched_episode_fn(sim, n_steps: int,
+                            segment_steps: Optional[int] = None,
+                            remat: bool = True):
+    """Batched (data-parallel) variant of :func:`make_episode_fn`.
+
+    Returns ``episode(params, xs_packed, state0) -> (final_state, emits)``
+    where ``xs_packed`` is ``(B, n_steps, width)`` (one packed input table
+    per episode — :func:`episode_inputs` rows, stacked), ``state0`` has a
+    leading episode axis on every leaf (:func:`batched_initial_state`), and
+    ``emits`` maps probe index to ``(B, n_steps, ...)``.
+
+    Lowering matches ``parallel.trials.run_batched_episodes``: ONE scan over
+    time whose body is ``vmap(step)``, inputs transposed time-major inside
+    the jitted program so each step reads a contiguous ``(B, width)`` block.
+    Under a mesh, shard ``xs``/``state0`` along the episode axis and
+    replicate ``params`` (see :func:`fit`'s ``mesh`` argument) — the
+    backward pass then yields data-parallel gradients with XLA inserting
+    the single all-reduce.
+    """
+    step = sim._step_fn
+    splits = sim._input_splits()
+    width = sum(n.size_out for n in sim.model.input_nodes)
+    if segment_steps is None:
+        segment_steps = min(n_steps, 100)
+    seg = int(segment_steps)
+    if n_steps % seg:
+        raise ValueError(
+            f"n_steps={n_steps} must be a multiple of segment_steps={seg} "
+            "(the remat scan needs equal segments)")
+    n_seg = n_steps // seg
+    vstep = jax.vmap(step, in_axes=(0, 0, None))
+
+    def seg_fn(state, xs_seg, params):
+        # xs_seg: (seg, B, width) time-major
+        cols = [xs_seg[:, :, a:b] for a, b in splits]
+
+        def body(carry, xs):
+            return vstep(carry, xs, params)
+        return jax.lax.scan(body, state, cols, length=seg)
+
+    if remat:
+        seg_fn = jax.checkpoint(seg_fn)
+
+    def episode(params, xs_packed, state0):
+        xs_packed = jnp.asarray(xs_packed, jnp.float32)
+        B = xs_packed.shape[0]
+        # (B, T, w) -> (n_seg, seg, B, w)
+        xs4 = jnp.moveaxis(xs_packed, 0, 1).reshape(n_seg, seg, B, width)
+
+        def outer(carry, xs_seg):
+            return seg_fn(carry, xs_seg, params)
+
+        final_state, emits = jax.lax.scan(outer, state0, xs4)
+        # (n_seg, seg, B, ...) -> (B, n_steps, ...)
+        emits = jax.tree_util.tree_map(
+            lambda e: jnp.moveaxis(
+                e.reshape((n_steps,) + e.shape[2:]), 0, 1),
+            emits)
+        return final_state, emits
+
+    return episode
+
+
 # ---------------------------------------------------------------------------
 # Parameter partitioning: train a path-selected subset, freeze the rest
 # ---------------------------------------------------------------------------
@@ -170,7 +241,8 @@ def fit(episode, params, xs, state0,
         loss_fn: Callable[[Dict[int, jax.Array], dict], jax.Array],
         trainable: Callable[[str], bool],
         optimizer=None, steps: int = 100,
-        callback: Optional[Callable[[int, float], None]] = None
+        callback: Optional[Callable[[int, float], None]] = None,
+        mesh=None, batch_axis: str = "data"
         ) -> Tuple[dict, list]:
     """Minimise ``loss_fn(emits, final_state)`` over the path-selected
     parameter subset with optax (Adam 1e-3 by default).
@@ -178,6 +250,16 @@ def fit(episode, params, xs, state0,
     Returns ``(updated full params, per-step losses)``.  The update step is
     jitted once; every iteration is a single device program (forward scan,
     rematerialised backward, optimizer update).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``batch_axis`` axis for
+    data-parallel training of a :func:`make_batched_episode_fn` episode —
+    ``xs`` (``(B, T, width)``) and ``state0`` (leading episode axis) are
+    sharded along ``batch_axis``; the trainable/frozen parameters and
+    optimizer state are replicated.  The computation follows the data:
+    each device runs its episode shard, and GSPMD inserts ONE gradient
+    all-reduce per update (the canonical DP layout — gradients ride ICI,
+    parameters never move).  Results are numerically the unsharded batched
+    fit (same loss sequence up to reduction order).
 
     Learning-rate scale: Adam's per-coordinate step is ~the learning rate
     itself, and NEF decoder weights are small (O(1e-3) for a population
@@ -194,6 +276,21 @@ def fit(episode, params, xs, state0,
         lambda x: jnp.asarray(x, jnp.float32), train_p)
     opt_state = optimizer.init(train_p)
     xs = jnp.asarray(xs, jnp.float32)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        if batch_axis not in mesh.shape:
+            raise ValueError(f"mesh has no '{batch_axis}' axis: {mesh}")
+        repl = NamedSharding(mesh, P())
+        batched = NamedSharding(mesh, P(batch_axis))
+        xs = jax.device_put(xs, batched)
+        state0 = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), batched), state0)
+        train_p = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, repl), train_p)
+        frozen_p = jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), repl), frozen_p)
+        opt_state = jax.device_put(opt_state, repl)
 
     def loss_of(tp):
         full = merge_params(tp, frozen_p)

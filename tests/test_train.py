@@ -128,6 +128,65 @@ class TestPartition:
             np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
 
 
+class TestBatchedEpisode:
+    def test_batched_matches_per_episode(self):
+        """vmap(step) inside the remat scan is episode-independent: each
+        batch member's trace equals the single-episode run on its inputs."""
+        n = 100
+        sim, p = _build(LIFRate(), n, n_neurons=30)
+        pi = train.probe_index(sim, p)
+        xs1 = train.episode_inputs(sim, n)           # (T, w)
+        # three episodes: scaled copies of the input stream
+        xs_b = np.stack([0.5 * xs1, xs1, -xs1])      # (B, T, w)
+        bep = train.make_batched_episode_fn(sim, n, segment_steps=50)
+        _, emits_b = jax.jit(bep)(sim.params, xs_b,
+                                  train.batched_initial_state(sim, 3))
+        ep = train.make_episode_fn(sim, n, segment_steps=50)
+        ep_j = jax.jit(ep)
+        for b in range(3):
+            _, emits_1 = ep_j(sim.params, xs_b[b],
+                              sim.model.initial_state())
+            np.testing.assert_allclose(np.asarray(emits_b[pi])[b],
+                                       np.asarray(emits_1[pi]),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_dp_fit_matches_unsharded(self):
+        """fit(mesh=...) shards episodes over the 'data' axis and must
+        reproduce the unsharded batched fit: same loss sequence, same
+        trained decoders (one GSPMD gradient all-reduce is the only
+        collective difference)."""
+        from sspslam_tpu.parallel import make_mesh
+        n, B = 100, 8
+        sim, p = _build(LIFRate(), n, n_neurons=30)
+        pi = train.probe_index(sim, p)
+        xs1 = train.episode_inputs(sim, n)
+        rngs = np.random.default_rng(0)
+        scales = rngs.uniform(0.3, 1.0, size=B).astype(np.float32)
+        xs_b = np.stack([s * xs1 for s in scales])
+        targ = np.stack([-1.5 * s * _sine_table(n) for s in scales])
+        mask = (np.arange(n) >= 50).astype(np.float32)[None, :, None]
+
+        def loss_fn(emits, final_state):
+            return jnp.sum(mask * (emits[pi] - targ) ** 2) / jnp.sum(mask)
+
+        bep = train.make_batched_episode_fn(sim, n, segment_steps=50)
+        import optax
+        kw = dict(loss_fn=loss_fn,
+                  trainable=lambda path: path == f"probe/{pi}/D",
+                  optimizer=optax.adam(5e-3), steps=60)
+        state0 = train.batched_initial_state(sim, B)
+        p_plain, l_plain = train.fit(bep, sim.params, xs_b, state0, **kw)
+        mesh = make_mesh(8, axis_names=("data",))
+        p_mesh, l_mesh = train.fit(bep, sim.params, xs_b, state0,
+                                   mesh=mesh, **kw)
+        np.testing.assert_allclose(l_mesh, l_plain, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(p_mesh["probe"][str(pi)]["D"]),
+            np.asarray(p_plain["probe"][str(pi)]["D"]),
+            rtol=1e-4, atol=1e-6)
+        assert l_plain[-1] < l_plain[0] / 3
+
+
 class TestFit:
     def test_fit_learns_readout(self):
         """Train ONLY the probe decoders so the readout of x(t) becomes
