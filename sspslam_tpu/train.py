@@ -39,7 +39,7 @@ import numpy as np
 
 __all__ = ["make_episode_fn", "make_batched_episode_fn", "episode_inputs",
            "batched_initial_state", "probe_index", "connection_param_path",
-           "partition_params", "merge_params", "fit"]
+           "learning_rate_path", "partition_params", "merge_params", "fit"]
 
 
 def probe_index(sim, probe) -> int:
@@ -56,6 +56,18 @@ def connection_param_path(sim, conn) -> str:
     if bc.decoders is None:
         raise ValueError("connection has no decoders (direct/transform-only)")
     return f"conn/{bc.index}/D"
+
+
+def learning_rate_path(sim, conn) -> str:
+    """Params-tree path of a learned Connection's PES/Voja learning rate
+    ("hyper/lr/<slot>").  Learning rates are traced scalars consumed inside
+    the in-scan weight updates, so selecting this path in :func:`fit` does
+    gradient-based hyperparameter optimisation THROUGH the online learning
+    dynamics (meta-learning) — no reference counterpart."""
+    bc = next(c for c in sim.model.connections if c.obj is conn)
+    if bc.learned_slot is None:
+        raise ValueError("connection has no PES/Voja learning rule")
+    return f"hyper/lr/{bc.learned_slot}"
 
 
 def episode_inputs(sim, n_steps: int) -> np.ndarray:

@@ -187,6 +187,87 @@ class TestBatchedEpisode:
         assert l_plain[-1] < l_plain[0] / 3
 
 
+class TestMetaLearning:
+    def test_learning_rate_gradient_through_pes(self):
+        """Learning rates are traced scalars inside the in-scan PES update,
+        so backprop through the episode yields d(recall error)/d(lr) —
+        gradient-based hyperparameter optimisation through online learning.
+        From a too-low lr, a few meta-steps must raise it and cut the
+        end-of-episode recall error."""
+        import optax
+        from sspslam_tpu.models import AssociativeMemory
+        from sspslam_tpu.utils import sparsity_to_x_intercept
+
+        n, d = 400, 4
+        rng = np.random.default_rng(0)
+        keys = rng.normal(size=(2, d)).astype(np.float32)
+        keys /= np.linalg.norm(keys, axis=1, keepdims=True)
+        vals = rng.normal(size=(2, d)).astype(np.float32)
+        vals /= 2 * np.linalg.norm(vals, axis=1, keepdims=True)
+        # alternate the two pairs every 50 steps
+        idx = (np.arange(n) // 50) % 2
+        with Network(seed=0) as net:
+            k_in = Node(TimeTable(keys[idx], 0.001))
+            v_in = Node(TimeTable(vals[idx], 0.001))
+            gate = Node(TimeTable(np.zeros((n, 1), np.float32), 0.001))
+            am = AssociativeMemory(
+                120, d, d, sparsity_to_x_intercept(d, 0.25),
+                voja=False, pes_learning_rate=2e-3, seed=0)
+            Connection(k_in, am.key_input, synapse=None)
+            Connection(v_in, am.value_input, synapse=None)
+            Connection(gate, am.learning, synapse=None)
+            p = Probe(am.recall, synapse=0.02)
+        # rate neurons end-to-end: hard LIF spike thresholds would zero the
+        # lr gradient at the recall population (use SurrogateLIF to keep
+        # spiking forward dynamics instead)
+        sim = Simulator(net, seed=0, default_neuron_type=LIFRate())
+        lr_path = train.learning_rate_path(sim, am.conn_out)
+        assert lr_path.startswith("hyper/lr/pes_")
+        episode = train.make_episode_fn(sim, n, segment_steps=50)
+        xs = train.episode_inputs(sim, n)
+        pi = train.probe_index(sim, p)
+        target = vals[idx]
+        mask = np.zeros((n, 1), np.float32)
+        mask[n // 2:] = 1.0  # judge recall in the second half only
+
+        def loss_fn(emits, final_state):
+            return jnp.sum(mask * (emits[pi] - target) ** 2) / jnp.sum(mask)
+
+        def loss_of(params):
+            _, emits = episode(params, xs, sim.model.initial_state())
+            return loss_fn(emits, sim.model.initial_state())
+
+        g = jax.grad(loss_of)(sim.params)
+        slot = lr_path.split("/")[-1]
+        g_lr = float(np.asarray(g["hyper"]["lr"][slot]))
+        assert np.isfinite(g_lr) and g_lr != 0.0
+
+        # the episode-gradient must match a central finite difference of
+        # the meta-loss (the whole lr -> PES -> recall chain, through
+        # 400 scan steps)
+        loss_j = jax.jit(loss_of)
+
+        def loss_at(lr):
+            p = jax.tree_util.tree_map(lambda x: x, sim.params)
+            p["hyper"]["lr"] = dict(p["hyper"]["lr"])
+            p["hyper"]["lr"][slot] = jnp.float32(lr)
+            return float(loss_j(p))
+
+        lr0 = float(sim.params["hyper"]["lr"][slot])
+        h = 1e-5
+        fd = (loss_at(lr0 + h) - loss_at(lr0 - h)) / (2 * h)
+        assert np.isclose(g_lr, fd, rtol=5e-2), (g_lr, fd)
+
+        # meta-descent moves lr against the gradient and lowers the loss
+        params2, losses = train.fit(
+            episode, sim.params, xs, sim.model.initial_state(), loss_fn,
+            trainable=lambda s: s == lr_path,
+            optimizer=optax.sgd(1e-5), steps=8)
+        lr1 = float(np.asarray(params2["hyper"]["lr"][slot]))
+        assert (lr1 - lr0) * g_lr < 0, (lr0, lr1, g_lr)
+        assert losses[-1] < losses[0], losses
+
+
 class TestFit:
     def test_fit_learns_readout(self):
         """Train ONLY the probe decoders so the readout of x(t) becomes
