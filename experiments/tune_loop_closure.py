@@ -66,7 +66,8 @@ def make_world(T, seed, limit=0.1, n_landmarks=50, view_rad=0.2,
                 n_landmarks=n_landmarks)
 
 
-def build_sim(world, cfg, seed, pi_n=800, mem_n=970, cc_n=100):
+def build_sim(world, cfg, seed, pi_n=800, mem_n=970, cc_n=100,
+              **sim_kwargs):
     space, lm_space = world["space"], world["lm_space"]
     d = space.ssp_dim
     (vel_f, scale, in_view_f, _, sp_f, _, vecssp_f) = world["fns"]
@@ -91,7 +92,7 @@ def build_sim(world, cfg, seed, pi_n=800, mem_n=970, cc_n=100):
         Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
         Connection(in_view, slam.no_landmark_in_view, synapse=None)
         p = Probe(slam.pathintegrator.output, synapse=0.05)
-    sim = Simulator(net, seed=seed)
+    sim = Simulator(net, seed=seed, **sim_kwargs)
     return sim, p
 
 

@@ -254,7 +254,7 @@ def fit(episode, params, xs, state0,
         trainable: Callable[[str], bool],
         optimizer=None, steps: int = 100,
         callback: Optional[Callable[[int, float], None]] = None,
-        mesh=None, batch_axis: str = "data"
+        mesh=None, batch_axis: str = "data", keep_best: bool = False
         ) -> Tuple[dict, list]:
     """Minimise ``loss_fn(emits, final_state)`` over the path-selected
     parameter subset with optax (Adam 1e-3 by default).
@@ -317,9 +317,19 @@ def fit(episode, params, xs, state0,
         return tp, opt_state, loss
 
     losses = []
+    best_tp, best_loss = None, float("inf")
     for i in range(steps):
+        prev_tp = train_p
         train_p, opt_state, loss = update(train_p, opt_state)
-        losses.append(float(loss))
+        losses.append(float(loss))   # loss at prev_tp (pre-update)
+        if keep_best and losses[-1] < best_loss:
+            best_loss, best_tp = losses[-1], prev_tp
         if callback is not None:
             callback(i, losses[-1])
+    if keep_best:
+        # the final iterate was never evaluated in the loop
+        final_loss = float(jax.jit(loss_of)(train_p))
+        if final_loss < best_loss:
+            best_loss, best_tp = final_loss, train_p
+        return merge_params(best_tp, frozen_p), losses
     return merge_params(train_p, frozen_p), losses

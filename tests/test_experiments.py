@@ -74,6 +74,24 @@ class TestExperimentScripts:
             "--backend", "cpu"])
         assert os.path.exists(tmp_path / "map.gif")
 
+    def test_train_pathint(self, tmp_path):
+        out = run_script("train_pathint.py", [
+            "--cpu", "--ssp-dim", "19", "--pi-n-neurons", "40",
+            "--T-steps", "300", "--segment-steps", "100",
+            "--fit-steps", "8", "--save", "--save-dir", str(tmp_path)])
+        assert "backprop-tuned" in out
+        assert any(f.startswith("trainpi_") for f in os.listdir(tmp_path))
+
+    def test_train_slam(self, tmp_path):
+        out = run_script("train_slam.py", [
+            "--cpu", "--T", "1", "--ssp-dim", "19", "--pi-n-neurons", "30",
+            "--mem-n-neurons", "60", "--cc-n-neurons", "16",
+            "--n-landmarks", "4", "--segment-steps", "100",
+            "--fit-steps", "3", "--save", "--save-dir", str(tmp_path)],
+            timeout=600)
+        assert "gradient-tuned" in out
+        assert any(f.startswith("trainslam_") for f in os.listdir(tmp_path))
+
     def test_slam_map_new(self, tmp_path):
         out = run_script("slam_map_new.py", [
             "--T", "4", "--pi-n-neurons", "60", "--circonv-n-neurons", "16",

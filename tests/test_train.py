@@ -295,3 +295,29 @@ class TestFit:
         out = np.asarray(emits[pi])[50:]
         err = np.sqrt(np.mean((out - target[50:]) ** 2))
         assert err < 0.35, err
+
+    def test_keep_best_returns_best_iterate(self):
+        """With a deliberately diverging optimizer, keep_best=True returns
+        the lowest-loss iterate seen, not the (worse) final one."""
+        import optax
+        n = 120
+        sim, p = _build(LIFRate(), n, n_neurons=30)
+        episode = train.make_episode_fn(sim, n, segment_steps=60)
+        xs = train.episode_inputs(sim, n)
+        pi = train.probe_index(sim, p)
+        target = -1.0 * _sine_table(n)
+
+        def loss_fn(emits, final_state):
+            return jnp.mean((emits[pi] - target) ** 2)
+
+        kw = dict(loss_fn=loss_fn,
+                  trainable=lambda s: s == f"probe/{pi}/D",
+                  optimizer=optax.sgd(5.0), steps=12)  # diverges
+        p_best, losses = train.fit(episode, sim.params, xs,
+                                   sim.model.initial_state(),
+                                   keep_best=True, **kw)
+        # it really diverged (possibly all the way to NaN)
+        assert not (losses[-1] <= min(losses))
+        _, emits = jax.jit(episode)(p_best, xs, sim.model.initial_state())
+        best_loss = float(jnp.mean((emits[pi] - target) ** 2))
+        assert best_loss <= min(losses) + 1e-6, (best_loss, min(losses))
