@@ -67,10 +67,10 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "..", "data"))
     args = ap.parse_args()
 
-    if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     if args.cpu:
+        # config.update is the load-bearing switch: a sitecustomize imports
+        # jax at interpreter startup, so JAX_PLATFORMS is already latched
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax

@@ -54,10 +54,10 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "..", "data"))
     args = ap.parse_args()
 
-    if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
     if args.cpu:
+        # config.update is the load-bearing switch: a sitecustomize imports
+        # jax at interpreter startup, so JAX_PLATFORMS is already latched
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
@@ -69,7 +69,6 @@ def main():
 
     cfg = dict(update_thres=0.5, shift_rate=0.1, voja_lr=5e-4,
                pes_lr=1e-2, intercept=None)
-    n_steps = int(args.T / 0.001)
 
     def world_and_sim(world_seed):
         world = make_world(args.T, world_seed,
@@ -86,6 +85,7 @@ def main():
     world_tr, sim, probe = world_and_sim(args.train_world_seed)
     world_te, sim_te, _ = world_and_sim(args.test_world_seed)
     space = world_tr["space"]
+    n_steps = world_tr["n_steps"]
     targ = space.encode(world_tr["path"]).astype(np.float32)
 
     episode = train.make_episode_fn(sim, n_steps,
@@ -93,6 +93,16 @@ def main():
     episode_j = jax.jit(episode)
     xs_tr = train.episode_inputs(sim, n_steps)
     xs_te = train.episode_inputs(sim_te, n_steps)
+    # each world's adapter scales velocities by ITS 1/max|A·v| factor
+    # (reference slam.py:392-394 semantics), but the held-out episode runs
+    # through the TRAIN-world model — rebase the test table's velocity
+    # columns (the only domain_dim-wide input) onto the train scale
+    scale_tr, scale_te = world_tr["fns"][1], world_te["fns"][1]
+    splits = sim_te._input_splits()
+    widths = [n.size_out for n in sim_te.model.input_nodes]
+    (va, vb), = [(a, b) for (a, b), w in zip(splits, widths) if w == 2]
+    xs_te = np.array(xs_te)
+    xs_te[:, va:vb] *= scale_tr / scale_te
     pidx = train.probe_index(sim, probe)
 
     slam = next(n for n in sim.model.network.networks

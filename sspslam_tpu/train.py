@@ -51,10 +51,25 @@ def probe_index(sim, probe) -> int:
 def connection_param_path(sim, conn) -> str:
     """Params-tree path of a Connection's solved decoders ("conn/<i>/D"),
     for use as a :func:`partition_params` / :func:`fit` trainable
-    predicate target."""
+    predicate target.
+
+    Raises for connections whose decoders the step consumes via a batched
+    ``dstack`` group einsum instead of the individual leaf (the leaf still
+    exists for weight probes, but training it would be a silent no-op)."""
+    from .nef.executor import _ea_batch_decode_groups, _elem_decode_groups
     bc = next(c for c in sim.model.connections if c.obj is conn)
     if bc.decoders is None:
         raise ValueError("connection has no decoders (direct/transform-only)")
+    for groups in (_elem_decode_groups(sim.model),
+                   _ea_batch_decode_groups(sim.model)):
+        for key, bcs in groups.items():
+            if any(b is bc for b in bcs):
+                raise ValueError(
+                    f"connection's decoders are consumed via the batched "
+                    f"group einsum dstack/{key} (rows shared with "
+                    f"{len(bcs) - 1} other connection(s)); training the "
+                    f"individual conn/{bc.index}/D leaf would not affect "
+                    f"the step")
     return f"conn/{bc.index}/D"
 
 
@@ -76,6 +91,60 @@ def episode_inputs(sim, n_steps: int) -> np.ndarray:
     return sim._pack_cols(sim._tabulate_inputs(n_steps))
 
 
+def _make_episode(sim, n_steps: int, segment_steps: Optional[int],
+                  remat: bool, batched: bool):
+    """Shared lowering of :func:`make_episode_fn` (``batched=False``) and
+    :func:`make_batched_episode_fn` (``batched=True``): an outer scan over
+    segments, each segment's scan optionally wrapped in ``jax.checkpoint``;
+    the batched variant scans ``vmap(step)`` over time-major inputs."""
+    step = sim._step_fn
+    splits = sim._input_splits()
+    width = sum(n.size_out for n in sim.model.input_nodes)
+    if segment_steps is None:
+        segment_steps = min(n_steps, 100)
+    seg = int(segment_steps)
+    if n_steps % seg:
+        raise ValueError(
+            f"n_steps={n_steps} must be a multiple of segment_steps={seg} "
+            "(the remat scan needs equal segments)")
+    n_seg = n_steps // seg
+    body_step = jax.vmap(step, in_axes=(0, 0, None)) if batched else step
+
+    def seg_fn(state, xs_seg, params):
+        # xs_seg: (seg, width) or time-major (seg, B, width)
+        cols = [xs_seg[..., a:b] for a, b in splits]
+
+        def body(carry, xs):
+            return body_step(carry, xs, params)
+        return jax.lax.scan(body, state, cols, length=seg)
+
+    if remat:
+        seg_fn = jax.checkpoint(seg_fn)
+
+    def episode(params, xs_packed, state0):
+        xs_packed = jnp.asarray(xs_packed, jnp.float32)
+        if batched:
+            B = xs_packed.shape[0]
+            # (B, T, w) -> (n_seg, seg, B, w)
+            xs = jnp.moveaxis(xs_packed, 0, 1).reshape(n_seg, seg, B, width)
+        else:
+            xs = xs_packed.reshape(n_seg, seg, width)
+
+        def outer(carry, xs_seg):
+            return seg_fn(carry, xs_seg, params)
+
+        final_state, emits = jax.lax.scan(outer, state0, xs)
+
+        def fix(e):
+            e = e.reshape((n_steps,) + e.shape[2:])
+            # time-major back to (B, n_steps, ...)
+            return jnp.moveaxis(e, 0, 1) if batched else e
+        emits = jax.tree_util.tree_map(fix, emits)
+        return final_state, emits
+
+    return episode
+
+
 def make_episode_fn(sim, n_steps: int, segment_steps: Optional[int] = None,
                     remat: bool = True):
     """Build ``episode(params, xs_packed, state0) -> (final_state, emits)``.
@@ -94,41 +163,7 @@ def make_episode_fn(sim, n_steps: int, segment_steps: Optional[int] = None,
     experiments.  With ``remat=False`` the plain scan stores all residuals
     (fastest, memory ``O(n_steps·A)``).
     """
-    step = sim._step_fn
-    splits = sim._input_splits()
-    width = sum(n.size_out for n in sim.model.input_nodes)
-    if segment_steps is None:
-        segment_steps = min(n_steps, 100)
-    seg = int(segment_steps)
-    if n_steps % seg:
-        raise ValueError(
-            f"n_steps={n_steps} must be a multiple of segment_steps={seg} "
-            "(the remat scan needs equal segments)")
-    n_seg = n_steps // seg
-
-    def seg_fn(state, xs_seg, params):
-        cols = [xs_seg[:, a:b] for a, b in splits]
-
-        def body(carry, xs):
-            return step(carry, xs, params)
-        return jax.lax.scan(body, state, cols, length=seg)
-
-    if remat:
-        seg_fn = jax.checkpoint(seg_fn)
-
-    def episode(params, xs_packed, state0):
-        xs_packed = jnp.asarray(xs_packed, jnp.float32)
-        xs3 = xs_packed.reshape(n_seg, seg, width)
-
-        def outer(carry, xs_seg):
-            return seg_fn(carry, xs_seg, params)
-
-        final_state, emits = jax.lax.scan(outer, state0, xs3)
-        emits = jax.tree_util.tree_map(
-            lambda e: e.reshape((n_steps,) + e.shape[2:]), emits)
-        return final_state, emits
-
-    return episode
+    return _make_episode(sim, n_steps, segment_steps, remat, batched=False)
 
 
 def batched_initial_state(sim, batch: int):
@@ -158,48 +193,7 @@ def make_batched_episode_fn(sim, n_steps: int,
     backward pass then yields data-parallel gradients with XLA inserting
     the single all-reduce.
     """
-    step = sim._step_fn
-    splits = sim._input_splits()
-    width = sum(n.size_out for n in sim.model.input_nodes)
-    if segment_steps is None:
-        segment_steps = min(n_steps, 100)
-    seg = int(segment_steps)
-    if n_steps % seg:
-        raise ValueError(
-            f"n_steps={n_steps} must be a multiple of segment_steps={seg} "
-            "(the remat scan needs equal segments)")
-    n_seg = n_steps // seg
-    vstep = jax.vmap(step, in_axes=(0, 0, None))
-
-    def seg_fn(state, xs_seg, params):
-        # xs_seg: (seg, B, width) time-major
-        cols = [xs_seg[:, :, a:b] for a, b in splits]
-
-        def body(carry, xs):
-            return vstep(carry, xs, params)
-        return jax.lax.scan(body, state, cols, length=seg)
-
-    if remat:
-        seg_fn = jax.checkpoint(seg_fn)
-
-    def episode(params, xs_packed, state0):
-        xs_packed = jnp.asarray(xs_packed, jnp.float32)
-        B = xs_packed.shape[0]
-        # (B, T, w) -> (n_seg, seg, B, w)
-        xs4 = jnp.moveaxis(xs_packed, 0, 1).reshape(n_seg, seg, B, width)
-
-        def outer(carry, xs_seg):
-            return seg_fn(carry, xs_seg, params)
-
-        final_state, emits = jax.lax.scan(outer, state0, xs4)
-        # (n_seg, seg, B, ...) -> (B, n_steps, ...)
-        emits = jax.tree_util.tree_map(
-            lambda e: jnp.moveaxis(
-                e.reshape((n_steps,) + e.shape[2:]), 0, 1),
-            emits)
-        return final_state, emits
-
-    return episode
+    return _make_episode(sim, n_steps, segment_steps, remat, batched=True)
 
 
 # ---------------------------------------------------------------------------
@@ -331,5 +325,9 @@ def fit(episode, params, xs, state0,
         final_loss = float(jax.jit(loss_of)(train_p))
         if final_loss < best_loss:
             best_loss, best_tp = final_loss, train_p
+        if best_tp is None:
+            # every evaluated loss was non-finite; fall back to the last
+            # iterate rather than returning a tree with holes
+            best_tp = train_p
         return merge_params(best_tp, frozen_p), losses
     return merge_params(train_p, frozen_p), losses
