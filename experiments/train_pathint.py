@@ -142,7 +142,8 @@ def main():
     params2, losses = train.fit(
         episode, sim.params, xs_tr, sim.model.initial_state(), loss_fn,
         trainable=lambda s: s == rec_path,
-        optimizer=optax.adam(args.lr), steps=args.fit_steps)
+        optimizer=optax.adam(args.lr), steps=args.fit_steps,
+        keep_best=True)
     el = time.time() - t0
     print(f"fit: {args.fit_steps} steps in {el:.1f}s  "
           f"loss {losses[0]:.5f} -> {losses[-1]:.5f}")
