@@ -104,8 +104,16 @@ class Simulator:
         for node in self.model.input_nodes:
             f = node.output
             if isinstance(f, TimeTable):
-                # array-backed node: slice, don't loop
-                cols.append(f.rows(self.n_steps, n_steps))
+                if abs(f.dt - self.dt) < 1e-9 * self.dt:
+                    # array-backed node at the simulator dt: slice, don't loop
+                    cols.append(f.rows(self.n_steps, n_steps))
+                else:
+                    # table recorded at a different dt (e.g. 20 ms trajectory
+                    # data): vectorised version of __call__'s t -> row map
+                    ts = (self.n_steps + np.arange(1, n_steps + 1)) * self.dt
+                    idx = np.clip(np.round((ts - f.dt) / f.dt).astype(int),
+                                  0, len(f.values) - 1)
+                    cols.append(f.values[idx])
                 continue
             t0 = self.n_steps * self.dt
             vals = np.empty((n_steps, node.size_out), dtype=np.float32)
@@ -279,12 +287,20 @@ class Simulator:
                 segs.append(rem)
         width = sum(n.size_out for n in self.model.input_nodes)
         for seg in segs:
-            run_segment = self._get_scan(seg)
             state = jax.tree_util.tree_map(
                 lambda x: np.array(x, copy=True),
                 self.model.initial_state())
-            xs = np.zeros((seg, width), np.float32)
-            out_state, _ = run_segment(state, xs, self.params)
+            if self._preloaded_dev is not None:
+                # a preloaded run consumes the DEVICE-table program
+                # (different cache key / executable than the host-xs one);
+                # warm that, or the scan compile lands in the timed region
+                run_segment = self._get_scan_dev(seg)
+                out_state, _ = run_segment(state, self._preloaded_dev,
+                                           np.int32(0), self.params)
+            else:
+                run_segment = self._get_scan(seg)
+                xs = np.zeros((seg, width), np.float32)
+                out_state, _ = run_segment(state, xs, self.params)
             jax.block_until_ready(out_state)
             np.asarray(out_state["step"])   # real barrier (see sync())
 
@@ -320,10 +336,20 @@ class Simulator:
             packed = np.zeros((n_steps + base, 0), np.float32)
 
         dev_table = getattr(self, "_preloaded_dev", None)
+        sparse_periods = [bp.period_steps for bp in model.probes if bp.sparse]
         done = 0
         t_start = time.time()
         while done < n_steps:
             seg = min(segment_steps, n_steps - done)
+            cum = self.n_steps + done
+            if sparse_periods:
+                # clip the segment so every sparse-probe sample time becomes
+                # a segment boundary — chained runs or explicit segment
+                # lengths that don't divide the period would otherwise skip
+                # samples silently (the snapshot is read from the carry, so
+                # it only exists at boundaries)
+                to_next = min((p - cum % p) or p for p in sparse_periods)
+                seg = min(seg, to_next)
             lo = base + done
             if dev_table is not None and lo + seg <= dev_table.shape[0]:
                 # device-resident table: compiled dynamic_slice, no input
@@ -344,16 +370,24 @@ class Simulator:
                 self.state, emits = run_segment(self.state, xs, self.params)
             for bp in model.probes:
                 if bp.sparse:
-                    if (self.n_steps + done + seg) % bp.period_steps == 0:
+                    if (cum + seg) % bp.period_steps == 0:
                         self._probe_data[bp.index].append(
                             sparse_probe_value(model, self.state, bp)[None])
-                        self._sparse_steps[bp.index].append(
-                            self.n_steps + done + seg)
+                        self._sparse_steps[bp.index].append(cum + seg)
                 else:
+                    e = emits[bp.index]
+                    if bp.period_steps > 1:
+                        # thin subsampled dense probes per segment (device
+                        # slice): row j is step cum+j+1; keep steps that are
+                        # period multiples.  Retaining the full buffer would
+                        # hold period x the needed HBM until probe_data()
+                        phase = (bp.period_steps - 1
+                                 - cum % bp.period_steps) % bp.period_steps
+                        e = e[phase::bp.period_steps]
                     # keep the device buffer; conversion happens lazily in
                     # probe_data() so segments pipeline without a blocking
                     # device->host transfer each
-                    self._probe_data[bp.index].append(emits[bp.index])
+                    self._probe_data[bp.index].append(e)
             done += seg
             if self.progress:
                 el = time.time() - t_start
@@ -370,19 +404,23 @@ class Simulator:
         return _ProbeData(self)
 
     def trange(self, sample_every: Optional[float] = None):
-        dt = self.dt if sample_every is None else sample_every
-        n = int(self.n_steps * self.dt / dt)
-        return dt * np.arange(1, n + 1)
+        # integer stride arithmetic, matching the probes' row subsampling —
+        # float division truncates one point short for many (n_steps,
+        # sample_every) pairs (e.g. 1170 steps at 0.01)
+        period = (1 if sample_every is None
+                  else max(1, int(round(sample_every / self.dt))))
+        n = self.n_steps // period
+        return (self.dt * period) * np.arange(1, n + 1)
 
     def probe_data(self, probe: Probe) -> np.ndarray:
         bp = next(p for p in self.model.probes if p.obj is probe)
         chunks = self._probe_data[bp.index]
         if not chunks:
             return np.zeros((0,) + bp.shape)
-        full = np.concatenate([np.asarray(c) for c in chunks], axis=0)
-        if not bp.sparse and bp.period_steps > 1:
-            full = full[bp.period_steps - 1::bp.period_steps]
-        return full
+        # dense subsampled probes are already thinned per segment in
+        # run_steps (with global-step phase), sparse ones snapshot at
+        # boundaries — chunks concatenate directly
+        return np.concatenate([np.asarray(c) for c in chunks], axis=0)
 
     def reset(self):
         self.state = self.model.initial_state()
@@ -391,6 +429,8 @@ class Simulator:
         self._preloaded_dev = None
         for k in self._probe_data:
             self._probe_data[k] = []
+        for k in self._sparse_steps:
+            self._sparse_steps[k] = []
 
     # -- checkpoint / resume -------------------------------------------
     # The entire simulation state (neuron dynamics, synapse filters, learned
@@ -404,6 +444,8 @@ class Simulator:
                  **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
 
     def load_checkpoint(self, path: str):
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path += ".npz"   # np.savez appends the suffix save-side
         _, treedef = jax.tree_util.tree_flatten(self.model.initial_state())
         with np.load(path) as f:
             n = int(f["n_leaves"])
@@ -415,6 +457,22 @@ class Simulator:
         # position instead of feeding misaligned rows
         self._preloaded = None
         self._preloaded_dev = None
+        # rewinding past steps already simulated in THIS process must also
+        # rewind the probe buffers, or data[] mixes two divergent timelines
+        for bp in self.model.probes:
+            if bp.sparse:
+                keep = [i for i, s in enumerate(self._sparse_steps[bp.index])
+                        if s <= self.n_steps]
+                self._probe_data[bp.index] = [
+                    self._probe_data[bp.index][i] for i in keep]
+                self._sparse_steps[bp.index] = [
+                    self._sparse_steps[bp.index][i] for i in keep]
+            elif self._probe_data[bp.index]:
+                rows = self.n_steps // bp.period_steps
+                full = np.concatenate(
+                    [np.asarray(c) for c in self._probe_data[bp.index]],
+                    axis=0)
+                self._probe_data[bp.index] = [full[:rows]]
 
     def __enter__(self):
         return self
