@@ -12,6 +12,7 @@ from .graph import (BatchedConnection, Connection, Default, Ensemble,
                     EnsembleArray, LearningRule, Network, Neurons, Node,
                     ObjView, PES, Probe, Voja)
 from .processes import TimeTable, WhiteSignal, clamp_table, white_signal
+from .realtime import ClosedLoopSession
 from .simulator import Simulator
 
 __all__ = [
@@ -24,5 +25,5 @@ __all__ = [
     "BatchedConnection", "Connection", "Default", "Ensemble", "EnsembleArray",
     "LearningRule", "Network", "Neurons", "Node", "ObjView", "PES", "Probe",
     "Voja", "TimeTable", "WhiteSignal", "clamp_table", "white_signal",
-    "Simulator",
+    "ClosedLoopSession", "Simulator",
 ]
