@@ -54,8 +54,16 @@ def main():
     ap.add_argument("--vmax", type=float, default=0.35)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--decode-grid", type=int, default=61)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
     args = ap.parse_args()
     dt = 0.001
+
+    if args.cpu:
+        import jax
+        # config.update is the load-bearing switch: a sitecustomize imports
+        # jax at interpreter startup, so JAX_PLATFORMS is already latched
+        jax.config.update("jax_platforms", "cpu")
 
     from sspslam_tpu import HexagonalSSPSpace, SPSpace
     from sspslam_tpu.models import SLAMNetwork

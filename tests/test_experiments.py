@@ -99,3 +99,18 @@ class TestExperimentScripts:
             "--save-dir", str(tmp_path), "--backend", "cpu"], timeout=600)
         assert "area query sims" in out
         assert os.path.exists(tmp_path / "slam_map_queries.png")
+
+    def test_closed_loop_nav(self):
+        import json
+        out = run_script("closed_loop_nav.py", [
+            "--cpu", "--ssp-dim", "31", "--pi-n-neurons", "80",
+            "--mem-n-neurons", "100", "--circonv-n-neurons", "20",
+            "--n-landmarks", "4", "--tick-steps", "25",
+            "--explore-T", "1", "--nav-T", "2", "--decode-grid", "31"],
+            timeout=600)
+        result = json.loads(out.strip().splitlines()[-1])
+        # tiny populations: just require the loop to run and the estimate
+        # to stay inside the arena-scale error band during exploration
+        assert result["n_ticks"] == 120
+        assert result["explore_est_err_median"] < 0.8
+        assert result["tick_latency_ms_median"] > 0
