@@ -52,7 +52,10 @@ def measure(bench, d, steps, seg, bf16, seed=0, reps=3):
                     for be in sim.model.ensembles)
     d_real = space.ssp_dim
 
-    sim.preload_inputs(steps + seg, device=True)
+    # cover warmup + ALL reps: the reps continue the simulation, so a
+    # (steps + seg) table would run out after rep 1 and push later reps
+    # onto the unwarmed host-xs path mid-measurement
+    sim.preload_inputs(reps * steps + seg, device=True)
     t0 = time.time()
     sim.run_steps(seg, segment_steps=seg)
     sim.sync()

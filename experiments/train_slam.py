@@ -109,7 +109,10 @@ def main():
                 if type(n).__name__ == "SLAMNetwork")
     paths = {train.learning_rate_path(sim, slam.assomemory.conn_out): "pes_lr",
              train.learning_rate_path(sim, slam.assomemory.conn_in): "voja_lr"}
-    hkey = next(iter(sim.model.hoisted))
+    # pick the hoisted node slot that actually holds shift_rate — with
+    # SSPSLAM_HOIST_CLEANUP set there is more than one hoisted entry and
+    # slot order follows node build order
+    hkey = next(k for k, v in sim.model.hoisted.items() if "shift_rate" in v)
     paths[f"hoisted/{hkey}/shift_rate"] = "shift_rate"
     trainable = lambda s: s in paths
 

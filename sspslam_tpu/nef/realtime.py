@@ -64,8 +64,12 @@ class ClosedLoopSession:
     record : bool
         Also append tick emissions to ``sim``'s probe buffers so
         ``sim.data[probe]`` afterwards covers the closed-loop run (dense
-        full-rate probes only; subsampled/sparse probes are not recorded
-        across ticks — read them via :meth:`tick` outputs instead).
+        full-rate probes only; dense SUBSAMPLED probes are not recorded
+        across ticks — probe at full rate or use :meth:`tick` outputs).
+        Sparse (weights/encoders) probes are snapshotted independently of
+        ``record``: whenever a tick crosses their sample period, the
+        snapshot is taken at the tick boundary and the true step recorded
+        (tick windows need not align with the period).
     """
 
     def __init__(self, sim, live_inputs: Optional[Sequence[Node]] = None,
@@ -101,18 +105,31 @@ class ClosedLoopSession:
                 if bp is None:
                     raise ValueError(f"{p} is not a probe of this model")
                 if bp.sparse:
-                    raise ValueError("sparse (weights/encoders) probes are "
-                                     "read at segment boundaries, not per "
-                                     "tick; use sim.run_steps for those")
+                    raise ValueError(
+                        "sparse (weights/encoders) probes cannot be tick "
+                        "outputs; they are snapshotted automatically when a "
+                        "tick crosses their sample period — read "
+                        "sim.data[probe] after the run")
                 self._out_probes.append(bp)
         self._run = sim._get_scan(self.tick_steps)
 
     # ------------------------------------------------------------------
     def compile(self) -> None:
         """Warm the tick executable outside any latency-sensitive region
-        (first compile costs seconds-to-minutes on remote backends)."""
-        self.sim.compile(n_steps=self.tick_steps,
-                         segment_steps=self.tick_steps)
+        (first compile costs seconds-to-minutes on remote backends).
+
+        Warms the HOST-xs program :meth:`tick` actually runs — not
+        ``Simulator.compile``, which after ``preload_inputs`` would warm
+        the device-table program (a different executable) and leave the
+        first tick to compile inside the control loop."""
+        sim, seg = self.sim, self.tick_steps
+        state = jax.tree_util.tree_map(lambda x: np.array(x, copy=True),
+                                       sim.model.initial_state())
+        width = self._splits[-1][1] if self._splits else 0
+        xs = np.zeros((seg, width), np.float32)
+        out_state, _ = self._run(state, xs, sim.params)
+        jax.block_until_ready(out_state)
+        np.asarray(out_state["step"])   # real barrier (see Simulator.sync)
 
     @property
     def t(self) -> float:
@@ -127,7 +144,7 @@ class ClosedLoopSession:
         width = self._splits[-1][1] if self._splits else 0
         xs = np.empty((seg, width), np.float32)
         tabulated = None
-        for node, (a, b) in zip(self._nodes, self._splits):
+        for i, (node, (a, b)) in enumerate(zip(self._nodes, self._splits)):
             if id(node) in self._live_ids:
                 if node not in inputs:
                     raise ValueError(f"live input {node} missing from tick()")
@@ -142,10 +159,14 @@ class ClosedLoopSession:
                     xs[:, a:b] = v
             else:
                 if tabulated is None:
-                    # tabulate ALL nodes for this window once (cheap: seg
-                    # rows), reuse per column
-                    tabulated = sim._tabulate_inputs(seg)
-                xs[:, a:b] = tabulated[self._nodes.index(node)]
+                    # tabulate only the NON-live nodes for this window (the
+                    # live nodes' build-time outputs may be per-step Python
+                    # callables — evaluating them just to overwrite the
+                    # columns would put host work back in the control loop)
+                    tabulated = sim._tabulate_inputs(
+                        seg, only=set(id(n) for n in self._nodes)
+                        - self._live_ids)
+                xs[:, a:b] = tabulated[i]
         return xs
 
     def tick(self, inputs: Optional[Dict[Node, np.ndarray]] = None
@@ -168,6 +189,18 @@ class ClosedLoopSession:
             # any preloaded table is now misaligned with the step counter
             sim._preloaded = None
             sim._preloaded_dev = None
+        # sparse (weights/encoders) probes: tick windows need not align with
+        # the sample period, and the snapshot is read from the carry (it
+        # only exists "now") — so when this tick CROSSED a period boundary,
+        # snapshot at the tick end and record the true step, rather than
+        # silently dropping the sample forever
+        for bp in sim.model.probes:
+            if bp.sparse and (cum // bp.period_steps
+                              != (cum + seg) // bp.period_steps):
+                from .executor import sparse_probe_value
+                sim._probe_data[bp.index].append(
+                    sparse_probe_value(sim.model, sim.state, bp)[None])
+                sim._sparse_steps[bp.index].append(cum + seg)
         out = {bp.obj: np.asarray(emits[bp.index]) for bp in self._out_probes}
         if self.record:
             for bp in sim.model.probes:

@@ -92,16 +92,23 @@ class Simulator:
                                                for bp in self.model.probes}
 
     # ------------------------------------------------------------------
-    def _tabulate_inputs(self, n_steps: int) -> list:
+    def _tabulate_inputs(self, n_steps: int, only=None) -> list:
         """Evaluate f(t)-only nodes for every step on the host, once.
 
         Returns host ndarrays: segment slicing happens on the host (free)
         and the jitted call transfers each slice (sub-ms) — eagerly slicing
         device arrays would trigger a fresh eager-op compile per distinct
-        offset on remote-compile backends."""
+        offset on remote-compile backends.
+
+        ``only``: optional set of node ids — nodes outside it yield ``None``
+        (ClosedLoopSession overwrites live-node columns anyway and must not
+        pay for evaluating their build-time callables per tick)."""
         from .processes import TimeTable
         cols = []
         for node in self.model.input_nodes:
+            if only is not None and id(node) not in only:
+                cols.append(None)
+                continue
             f = node.output
             if isinstance(f, TimeTable):
                 if abs(f.dt - self.dt) < 1e-9 * self.dt:

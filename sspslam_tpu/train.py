@@ -60,6 +60,16 @@ def connection_param_path(sim, conn) -> str:
     bc = next(c for c in sim.model.connections if c.obj is conn)
     if bc.decoders is None:
         raise ValueError("connection has no decoders (direct/transform-only)")
+    if bc.learned_slot is not None:
+        # learned (PES/Voja) decoders live in the scan CARRY, not the params
+        # tree — build_params emits no conn/<i>/D leaf for them, so the
+        # returned path would select nothing and fit() would silently train
+        # an empty subset
+        raise ValueError(
+            f"connection conn/{bc.index} is learned online (PES/Voja): its "
+            "decoders are scan-carry state, not a params leaf; tune the "
+            "rule through the online dynamics instead via "
+            "learning_rate_path(sim, conn)")
     for groups in (_elem_decode_groups(sim.model),
                    _ea_batch_decode_groups(sim.model)):
         for key, bcs in groups.items():

@@ -165,3 +165,46 @@ class TestValidation:
         sim = Simulator(net, seed=0)
         with pytest.raises(ValueError, match="sparse"):
             ClosedLoopSession(sim, outputs=[pw])
+
+    def test_sparse_probe_snapshots_when_tick_crosses_period(self):
+        """Tick windows that don't divide a weights-probe period must not
+        silently drop the snapshots: the session snapshots at the first
+        tick boundary past each period boundary, recording the true step."""
+        from sspslam_tpu.nef import PES
+        with Network(seed=0) as net:
+            inp = Node(lambda t: np.array([0.3]))
+            live = Node(lambda t: np.zeros(1))
+            a = Ensemble(30, 1, neuron_type=LIFRate())
+            b = Ensemble(30, 1, neuron_type=LIFRate())
+            Connection(inp, a, synapse=None)
+            Connection(live, a, synapse=None)
+            c = Connection(a, b, function=lambda x: x * 0,
+                           learning_rule_type=PES(1e-3))
+            Connection(inp, c.learning_rule, transform=-1, synapse=0.005)
+            pw = Probe(c, attr="weights", sample_every=0.05)   # 50 steps
+            pd = Probe(b, synapse=0.01)
+        sim = Simulator(net, seed=0)
+        sess = ClosedLoopSession(sim, live_inputs=[live], outputs=[pd],
+                                 tick_steps=30)
+        for _ in range(4):     # 120 steps; period boundaries at 50, 100
+            sess.tick({live: np.zeros(1, np.float32)})
+        w = sim.data[pw]
+        assert w.shape[0] == 2
+        bp = next(p for p in sim.model.probes if p.obj is pw)
+        # snapshots taken at the tick boundaries that crossed 50 and 100
+        assert sim._sparse_steps[bp.index] == [60, 120]
+
+    def test_compile_warms_the_tick_executable(self):
+        """compile() must warm the host-xs program tick() runs — even when
+        a device-preloaded table exists (Simulator.compile would warm the
+        device-table program, a different executable)."""
+        net, live, _, p = _net(100)
+        sim = Simulator(net, seed=0)
+        sim.preload_inputs(100)
+        sess = ClosedLoopSession(sim, live_inputs=[live], outputs=[p],
+                                 tick_steps=13)
+        sess.compile()
+        assert 13 in sim._scan_cache          # the host-xs tick program
+        assert sim.n_steps == 0               # warm-up did not advance time
+        out = sess.tick({live: np.array([0.1])})[p]
+        assert out.shape == (13, 1)

@@ -321,3 +321,27 @@ class TestFit:
         _, emits = jax.jit(episode)(p_best, xs, sim.model.initial_state())
         best_loss = float(jnp.mean((emits[pi] - target) ** 2))
         assert best_loss <= min(losses) + 1e-6, (best_loss, min(losses))
+
+
+class TestParamPaths:
+    def test_learned_connection_rejected(self):
+        """A PES-learned connection's decoders live in the scan carry — no
+        conn/<i>/D params leaf exists, so connection_param_path must raise
+        (previously it returned the nonexistent path and fit() silently
+        trained an empty subset)."""
+        from sspslam_tpu.nef import PES
+        with Network(seed=0) as net:
+            inp = Node(TimeTable(_sine_table(50)))
+            a = Ensemble(30, 1, neuron_type=LIFRate())
+            b = Ensemble(30, 1, neuron_type=LIFRate())
+            Connection(inp, a, synapse=None)
+            c = Connection(a, b, function=lambda x: x * 0,
+                           learning_rule_type=PES(1e-3))
+            Connection(inp, c.learning_rule, transform=-1, synapse=0.005)
+        sim = Simulator(net, seed=0)
+        with pytest.raises(ValueError, match="learning_rate_path"):
+            train.connection_param_path(sim, c)
+        # the learning-rate path for the same connection IS addressable
+        path = train.learning_rate_path(sim, c)
+        tr, _ = train.partition_params(sim.params, lambda s: s == path)
+        assert sum(x is not None for x in jax.tree_util.tree_leaves(tr)) >= 1
