@@ -11,6 +11,7 @@ from .distributions import (Choice, CosineSimilarity, Distribution,
 from .graph import (BatchedConnection, Connection, Default, Ensemble,
                     EnsembleArray, LearningRule, Network, Neurons, Node,
                     ObjView, PES, Probe, Voja)
+from .export import ServingModel, save_bundle
 from .processes import TimeTable, WhiteSignal, clamp_table, white_signal
 from .realtime import ClosedLoopSession
 from .simulator import Simulator
@@ -25,5 +26,5 @@ __all__ = [
     "BatchedConnection", "Connection", "Default", "Ensemble", "EnsembleArray",
     "LearningRule", "Network", "Neurons", "Node", "ObjView", "PES", "Probe",
     "Voja", "TimeTable", "WhiteSignal", "clamp_table", "white_signal",
-    "ClosedLoopSession", "Simulator",
+    "ClosedLoopSession", "ServingModel", "Simulator", "save_bundle",
 ]
