@@ -127,10 +127,13 @@ def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100,
             return jnp.take(b32, best, axis=0)
 
         # pure-NumPy mirror for the host interpreter (one einsum+argmax;
-        # keeps the NumpyStepper baseline strictly host-only)
-        def _cleanup_np(x):
-            sims = bank_np @ _np.asarray(x, _np.float32)
-            return bank_np[int(_np.argmax(sims))]
+        # keeps the NumpyStepper baseline strictly host-only).  Takes the
+        # hoisted consts too so the interpreter tracks a rewritten bank
+        def _cleanup_np(x, consts=None):
+            b = (bank_np if consts is None
+                 else _np.asarray(consts["bank"], _np.float32))
+            sims = b @ _np.asarray(x, _np.float32)
+            return b[int(_np.argmax(sims))]
         cleanup_fun.np_function = _cleanup_np
 
         if os.environ.get("SSPSLAM_HOIST_CLEANUP"):
@@ -155,6 +158,51 @@ def make_cleanup_fun(ssp_space, method="grid", samples_per_dim=100,
     return cleanup_fun, sample_ssps, sample_points
 
 
+def make_update_state_func(update_thres, shift_rate, d):
+    """Loop-closure correction gate shared by SLAMNetwork and
+    SLAMViewNetwork (reference slam.py:233-237, slam_view.py:275-276):
+    emit ``shift_rate * (estimate - PI)`` when a landmark is in view AND
+    the estimate agrees with the PI output above ``update_thres``.
+
+    With SSPSLAM_HOIST_GATE=1 the thresholds become TRACED params
+    (``hoisted_consts``): one compiled executable serves every
+    (update_thres, shift_rate) setting — the loop-closure sweep machinery
+    rewrites them in ``Simulator.params`` without a recompile.  Default is
+    baked closure constants (the fastest single-config step, same rule as
+    the filter coefficients).  The NumPy host mirror takes the same
+    ``consts`` so the interpreter agrees with the jit path under hoisting
+    too (the interpreter passes its current hoisted table when the node
+    has a hoisted key)."""
+    def update_state_func(t, x, consts=None):
+        thr = update_thres if consts is None else consts["update_thres"]
+        sr = shift_rate if consts is None else consts["shift_rate"]
+        pos_est = x[:d]
+        pi_est = x[d:2 * d]
+        no_view = x[-1]
+        ok = (jnp.abs(no_view) < 1e-3) & (
+            jnp.sum(pos_est * pi_est) > thr)
+        return jnp.where(ok, sr * (pos_est - pi_est),
+                         jnp.zeros_like(x[:d]))
+
+    import os as _os
+    if _os.environ.get("SSPSLAM_HOIST_GATE"):
+        update_state_func.hoisted_consts = {
+            "update_thres": np.float32(update_thres),
+            "shift_rate": np.float32(shift_rate)}
+
+    def _update_state_np(t, x, consts=None):
+        # host-interpreter mirror of the gate (reference slam.py:233-237)
+        thr = update_thres if consts is None else float(
+            consts["update_thres"])
+        sr = shift_rate if consts is None else float(consts["shift_rate"])
+        pos_est, pi_est = x[:d], x[d:2 * d]
+        if abs(float(x[-1])) < 1e-3 and float(pos_est @ pi_est) > thr:
+            return sr * (pos_est - pi_est)
+        return np.zeros(d, np.float32)
+    update_state_func.np_function = _update_state_np
+    return update_state_func
+
+
 def _wrap_cleanup_node(clean_up_fun):
     """Wrap a cleanup callable into a ``(t, x)`` node function, carrying
     through its ``hoisted_consts`` (traced-bank variant) and
@@ -169,7 +217,12 @@ def _wrap_cleanup_node(clean_up_fun):
             return _f(x)
     npf = getattr(clean_up_fun, "np_function", None)
     if npf is not None:
-        cleanup_node_fn.np_function = lambda t, x, _f=npf: _f(x)
+        if hc is not None:
+            # hoisted nodes: the interpreter forwards its current consts
+            cleanup_node_fn.np_function = (
+                lambda t, x, consts=None, _f=npf: _f(x, consts))
+        else:
+            cleanup_node_fn.np_function = lambda t, x, _f=npf: _f(x)
     return cleanup_node_fn
 
 
@@ -220,36 +273,8 @@ class SLAMNetwork(Network):
             self.sample_points = sample_points
         self.clean_up_fun = clean_up_fun
 
-        # With SSPSLAM_HOIST_GATE=1 the gate thresholds become TRACED
-        # params (hoisted_consts): one compiled executable serves every
-        # (update_thres, shift_rate) setting — the loop-closure sweep
-        # machinery rewrites them in Simulator.params without a recompile.
-        # Default is baked closure constants (the fastest single-config
-        # step, same rule as the filter coefficients).
-        def update_state_func(t, x, consts=None):
-            thr = update_thres if consts is None else consts["update_thres"]
-            sr = shift_rate if consts is None else consts["shift_rate"]
-            pos_est = x[:d]
-            pi_est = x[d:2 * d]
-            no_view = x[-1]
-            ok = (jnp.abs(no_view) < 1e-3) & (
-                jnp.sum(pos_est * pi_est) > thr)
-            return jnp.where(ok, sr * (pos_est - pi_est),
-                             jnp.zeros_like(x[:d]))
-        import os as _os
-        if _os.environ.get("SSPSLAM_HOIST_GATE"):
-            update_state_func.hoisted_consts = {
-                "update_thres": np.float32(update_thres),
-                "shift_rate": np.float32(shift_rate)}
-
-        def _update_state_np(t, x):
-            # host-interpreter mirror of the gate (reference slam.py:233-237)
-            pos_est, pi_est = x[:d], x[d:2 * d]
-            if abs(float(x[-1])) < 1e-3 and \
-                    float(pos_est @ pi_est) > update_thres:
-                return shift_rate * (pos_est - pi_est)
-            return np.zeros(d, np.float32)
-        update_state_func.np_function = _update_state_np
+        update_state_func = make_update_state_func(update_thres, shift_rate,
+                                                   d)
 
         mk_unitary = _np_make_unitary
 
@@ -342,6 +367,15 @@ class SLAMNetwork(Network):
                        self.update_state[d:2 * d], synapse=tau)
 
 
+def _vel_scale(max_abs_freq) -> float:
+    """1/max|A v| velocity normalisation (reference slam.py:392-394), with
+    the degenerate all-zero-velocity world guarded: the reference's bare
+    divide turns a stationary path into inf scale and NaN velocities that
+    LIF silently squashes to zero spikes — fail soft to scale 1 instead."""
+    m = float(max_abs_freq)
+    return 1.0 / m if np.isfinite(m) and m > 0 else 1.0
+
+
 def _np_make_unitary(x):
     """NumPy make-unitary for decoder solving (vectorised over rows)."""
     x = np.atleast_2d(np.asarray(x, dtype=np.float64))
@@ -368,8 +402,8 @@ def get_slam_input_functions(ssp_space, lm_space, velocity_data,
     d = ssp_space.ssp_dim
     landmark_sps = lm_space.vectors
 
-    vel_scaling_factor = 1 / np.max(
-        np.abs(ssp_space.phase_matrix @ velocity_data.T))
+    vel_scaling_factor = _vel_scale(np.max(
+        np.abs(ssp_space.phase_matrix @ velocity_data.T)))
     vels_scaled = velocity_data * vel_scaling_factor
 
     def step_of(t):
@@ -411,8 +445,8 @@ def get_slam_input_functions2(ssp_space, lm_space, velocity_data,
     d = ssp_space.ssp_dim
     landmark_sps = lm_space.vectors
 
-    vel_scaling_factor = 1 / np.max(
-        np.abs(ssp_space.phase_matrix @ velocity_data.T))
+    vel_scaling_factor = _vel_scale(np.max(
+        np.abs(ssp_space.phase_matrix @ velocity_data.T)))
     vels_scaled = velocity_data * vel_scaling_factor
 
     def step_of(t):

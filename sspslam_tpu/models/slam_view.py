@@ -17,7 +17,8 @@ from ..nef import Connection, Ensemble, Network, Node
 from ..nef.distributions import CosineSimilarity
 from .associativememory import AssociativeMemory
 from .pathintegration import PathIntegration
-from .slam import make_cleanup_fun, _np_make_unitary, _wrap_cleanup_node
+from .slam import (make_cleanup_fun, make_update_state_func,
+                   _np_make_unitary, _vel_scale, _wrap_cleanup_node)
 
 __all__ = ["SLAMViewNetwork", "get_slamview_input_functions"]
 
@@ -54,31 +55,11 @@ class SLAMViewNetwork(Network):
             self.sample_points = sample_points
         self.clean_up_fun = clean_up_fun
 
-        # gate thresholds traced under SSPSLAM_HOIST_GATE=1 (see
-        # models/slam.py): zero-recompile (update_thres, shift_rate) sweeps
-        def update_state_func(t, x, consts=None):
-            thr = update_thres if consts is None else consts["update_thres"]
-            sr = shift_rate if consts is None else consts["shift_rate"]
-            est = x[:d]
-            pi_est = x[d:2 * d]
-            no_view = x[-1]
-            ok = (jnp.abs(no_view) < 1e-3) & (
-                jnp.sum(est * pi_est) > thr)
-            return jnp.where(ok, sr * (est - pi_est),
-                             jnp.zeros_like(x[:d]))
-        import os as _os
-        if _os.environ.get("SSPSLAM_HOIST_GATE"):
-            update_state_func.hoisted_consts = {
-                "update_thres": np.float32(update_thres),
-                "shift_rate": np.float32(shift_rate)}
-
-        def _update_state_np(t, x):
-            est, pi_est = x[:d], x[d:2 * d]
-            if abs(float(x[-1])) < 1e-3 and \
-                    float(est @ pi_est) > update_thres:
-                return shift_rate * (est - pi_est)
-            return np.zeros(d, np.float32)
-        update_state_func.np_function = _update_state_np
+        # gate shared with SLAMNetwork (thresholds traced under
+        # SSPSLAM_HOIST_GATE=1: zero-recompile sweeps; numpy mirror
+        # honors the same hoisted consts)
+        update_state_func = make_update_state_func(update_thres, shift_rate,
+                                                   d)
 
         with self:
             self.velocity_input = Node(size_in=domain_dim, label="vel_input")
@@ -155,7 +136,7 @@ def get_slamview_input_functions(ssp_space, lm_space, velocity_data,
     landmark_sps = lm_space.vectors
 
     real_freqs = ssp_space.phase_matrix @ velocity_data.T
-    vel_scaling_factor = 1 / np.max(np.abs(real_freqs))
+    vel_scaling_factor = _vel_scale(np.max(np.abs(real_freqs)))
     vels_scaled = velocity_data * vel_scaling_factor
 
     def step_of(t):

@@ -45,16 +45,18 @@ def default_n_eval_points(n_neurons: int, dimensions: int) -> int:
 
 
 def _eval_points_of(spec, n_eval_points, n, d, radius, rng):
-    """Resolve an ensemble's eval points (nengo semantics: distribution
-    samples are scaled by radius; an explicit (P, d) array is already in
-    represented space and used as-is)."""
+    """Resolve an ensemble's eval points (nengo semantics: BOTH
+    distribution samples and explicit (P, d) arrays are scaled by radius —
+    nengo's ``gen_eval_points`` with its default ``scale_eval_points=True``
+    multiplies after sampling/validation, so explicit points are given in
+    the unit-radius convention)."""
     from .distributions import Distribution
     if spec is not None and not isinstance(spec, Distribution):
         arr = np.asarray(spec, dtype=np.float64)
         if arr.ndim == 2:
             assert arr.shape[1] == d, \
                 f"eval_points shape {arr.shape} does not match dim {d}"
-            return arr
+            return arr * radius
     n_ep = n_eval_points or default_n_eval_points(n, d)
     return sample_dist(spec, n_ep, d, rng=rng) * radius
 
@@ -691,8 +693,10 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                              pre_indices=None, eval_points=None):
         if eval_points is not None:
             # per-connection eval points: rates computed inline (the
-            # ensemble's activity cache is for its own points)
-            ep = np.asarray(eval_points, np.float64)
+            # ensemble's activity cache is for its own points).  Scaled by
+            # the pre-ensemble radius, matching nengo's build_decoders →
+            # gen_eval_points(scale_eval_points=True) semantics
+            ep = np.asarray(eval_points, np.float64) * be.radius
             targets = _eval_targets(ep, function)
             if pre_indices is not None:
                 targets = targets[..., pre_indices]

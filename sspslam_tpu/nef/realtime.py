@@ -111,6 +111,21 @@ class ClosedLoopSession:
                         "tick crosses their sample period — read "
                         "sim.data[probe] after the run")
                 self._out_probes.append(bp)
+        # sparse probes are snapshotted at most once per tick (the carry
+        # only exists at tick boundaries) — a period shorter than the tick
+        # therefore yields fewer samples than an uninterrupted run_steps
+        # would record; say so once up front rather than dropping silently
+        fast = [bp for bp in model.probes
+                if bp.sparse and bp.period_steps < self.tick_steps]
+        if fast:
+            import warnings
+            warnings.warn(
+                f"{len(fast)} sparse probe(s) have sample periods shorter "
+                f"than tick_steps={self.tick_steps}: closed-loop ticks "
+                "snapshot at most once per tick (at the tick-end step), so "
+                "they will record fewer samples than run_steps would; "
+                "shorten tick_steps or lengthen sample_every for a full "
+                "sample grid", stacklevel=2)
         self._run = sim._get_scan(self.tick_steps)
 
     # ------------------------------------------------------------------

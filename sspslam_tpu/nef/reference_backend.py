@@ -15,7 +15,7 @@ converted with np.asarray (on CPU builds this is free).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -73,9 +73,15 @@ def _neuron_step_np(nt, state, J, dt):
 class NumpyStepper:
     """Interpret a built Model one dt at a time on the host."""
 
-    def __init__(self, model: Model):
+    def __init__(self, model: Model, hoisted: Optional[dict] = None):
         self.model = model
         self.dt = model.dt
+        # hoisted node consts (SSPSLAM_HOIST_GATE): default to the
+        # build-time values; pass sim.params["hoisted"] (as host arrays)
+        # to cross-check a swept config whose traced consts were rewritten
+        self.hoisted = ({k: dict(v) for k, v in model.hoisted.items()}
+                        if hoisted is None
+                        else {k: dict(v) for k, v in hoisted.items()})
         self.state = self._initial_state()
         self._filt_coeffs = [(a, b) for (_s, a, b) in model.filter_specs]
         # incoming connection tables (same grouping as the jit executor)
@@ -249,11 +255,16 @@ class NumpyStepper:
                             # when the jax default backend is a remote
                             # accelerator (jnp eager dispatch over a
                             # tunnel costs ~ms/op and is NOT a fair CPU
-                            # baseline)
-                            out = np_f(t, x)
+                            # baseline).  Hoisted consts are forwarded so
+                            # the mirror tracks swept gate params exactly
+                            # like the jit path
+                            if hk is not None:
+                                out = np_f(t, x, consts=self.hoisted[hk])
+                            else:
+                                out = np_f(t, x)
                         elif hk is not None:
                             out = obj.output(t, x,
-                                             consts=m.hoisted[hk])
+                                             consts=self.hoisted[hk])
                         elif obj.size_in > 0:
                             out = obj.output(t, x)
                         else:

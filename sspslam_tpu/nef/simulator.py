@@ -86,6 +86,11 @@ class Simulator:
             self.state = shard_state(self.model, self.state, mesh)
         self.dtype = dtype
         self.n_steps = 0
+        # global step at which the dense probe buffers begin — stays 0
+        # unless a checkpoint is loaded into a probe-empty simulator, and
+        # is what makes repeated load_checkpoint rewinds count buffered
+        # rows correctly (rows buffered = samples in (_data_start, now])
+        self._data_start = 0
         self._probe_data: Dict[int, list] = {bp.index: []
                                              for bp in self.model.probes}
         self._sparse_steps: Dict[int, list] = {bp.index: []
@@ -354,7 +359,14 @@ class Simulator:
                 # a segment boundary — chained runs or explicit segment
                 # lengths that don't divide the period would otherwise skip
                 # samples silently (the snapshot is read from the carry, so
-                # it only exists at boundaries)
+                # it only exists at boundaries).  Each distinct clipped
+                # length is a separate scan compile; the set of lengths is
+                # the gaps between consecutive period boundaries (bounded,
+                # small for realistic sample_every; one length when a
+                # single period divides segment_steps) and each compile is
+                # amortised by the persistent compilation cache.  Pick
+                # sample_every dividing segment_steps to avoid clipping
+                # entirely.
                 to_next = min((p - cum % p) or p for p in sparse_periods)
                 seg = min(seg, to_next)
             lo = base + done
@@ -432,6 +444,7 @@ class Simulator:
     def reset(self):
         self.state = self.model.initial_state()
         self.n_steps = 0
+        self._data_start = 0
         self._preloaded = None
         self._preloaded_dev = None
         for k in self._probe_data:
@@ -465,7 +478,25 @@ class Simulator:
         self._preloaded = None
         self._preloaded_dev = None
         # rewinding past steps already simulated in THIS process must also
-        # rewind the probe buffers, or data[] mixes two divergent timelines
+        # rewind the probe buffers, or data[] mixes two divergent timelines.
+        # Buffered dense rows cover the samples in (_data_start, previous
+        # now] — count kept rows relative to _data_start, NOT step 0, or a
+        # session that itself began from a loaded checkpoint keeps stale
+        # divergent rows on a second load.
+        start = self._data_start
+        if self.n_steps < start:
+            # rewound to before this process's buffers began: nothing
+            # buffered can be kept (those samples were never recorded here)
+            for bp in self.model.probes:
+                self._probe_data[bp.index] = []
+                self._sparse_steps[bp.index] = []
+            self._data_start = self.n_steps
+            return
+        if all(not self._probe_data[bp.index]
+               for bp in self.model.probes if not bp.sparse):
+            # probe-empty simulator (fresh, or just reset): buffers will
+            # begin at the restored step
+            self._data_start = self.n_steps
         for bp in self.model.probes:
             if bp.sparse:
                 keep = [i for i, s in enumerate(self._sparse_steps[bp.index])
@@ -475,7 +506,8 @@ class Simulator:
                 self._sparse_steps[bp.index] = [
                     self._sparse_steps[bp.index][i] for i in keep]
             elif self._probe_data[bp.index]:
-                rows = self.n_steps // bp.period_steps
+                p = bp.period_steps
+                rows = self.n_steps // p - start // p
                 full = np.concatenate(
                     [np.asarray(c) for c in self._probe_data[bp.index]],
                     axis=0)

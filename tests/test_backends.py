@@ -163,15 +163,20 @@ class TestFullSLAMCrossCheck:
         monkeypatch.setenv("SSPSLAM_CLEANUP_F32", "1")
         from sspslam_tpu import SPSpace
         from sspslam_tpu.models import SLAMNetwork, get_slam_input_functions
-        from sspslam_tpu.nef import WhiteSignal
         T, dt, seed = 0.15, 0.001, 0
         bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
         space = HexagonalSSPSpace(2, ssp_dim=31, seed=seed, length_scale=0.3,
                                   domain_bounds=bounds)
         d = space.ssp_dim
-        path = np.hstack([WhiteSignal(T, high=2.0, seed=seed + i).run(T, dt=dt)
-                          for i in range(2)])
+        # deterministic MOVING path: a 0.15 s WhiteSignal(high=2.0) has no
+        # frequency bin under its cutoff and is identically zero, which
+        # made the velocity/VCO path dead (NaN-scaled, squashed by LIF)
+        # and the cross-check vacuous
+        ts = dt * np.arange(int(T / dt))
+        path = 0.25 * np.stack([np.sin(2 * np.pi * ts / T),
+                                np.cos(2 * np.pi * ts / T) - 1.0], axis=1)
         vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
+        assert np.abs(vels).max() > 0
         rng = np.random.default_rng(seed)
         landmarks = rng.uniform(-0.3, 0.3, size=(2, 2))
         vec_to_lm = landmarks[None, :, :] - path[:, None, :]
@@ -214,3 +219,45 @@ class TestFullSLAMCrossCheck:
                      if info["kind"] == "jnp_func"]
         assert jnp_nodes, "expected jnp node functions in the SLAM model"
         assert all(info.get("np_func") is not None for info in jnp_nodes)
+
+    def test_gate_np_mirror_honors_hoisted_consts(self, monkeypatch):
+        """Under SSPSLAM_HOIST_GATE the numpy mirror must apply the SAME
+        (possibly rewritten) consts as the traced gate — a swept
+        shift_rate/update_thres otherwise silently diverges between the
+        interpreter and the jit path."""
+        monkeypatch.setenv("SSPSLAM_HOIST_GATE", "1")
+        import jax.numpy as jnp
+        from sspslam_tpu.models.slam import make_update_state_func
+        d = 3
+        f = make_update_state_func(0.9, 0.1, d)   # baked: gate CLOSED
+        assert f.hoisted_consts is not None
+        v = np.full(d, 0.5, np.float32)
+        x = np.concatenate([v, 0.9 * v, [0.0]]).astype(np.float32)
+        # dot = 0.675: swept consts OPEN the gate with a new rate
+        consts = {"update_thres": np.float32(0.5),
+                  "shift_rate": np.float32(0.7)}
+        jit_out = np.asarray(f(0.0, jnp.asarray(x), consts=consts))
+        np_out = np.asarray(f.np_function(0.0, x, consts=consts))
+        assert np.abs(jit_out).max() > 0, "swept consts should open the gate"
+        np.testing.assert_allclose(np_out, jit_out, rtol=1e-6)
+        # without consts both fall back to the baked (closed) gate
+        assert np.all(np.asarray(f(0.0, jnp.asarray(x))) == 0)
+        assert np.all(np.asarray(f.np_function(0.0, x)) == 0)
+
+    def test_hoisted_gate_cross_check(self, monkeypatch):
+        """End-to-end: interpreter (which prefers np mirrors) agrees with
+        the jit path when the gate consts are hoisted to traced params."""
+        monkeypatch.setenv("SSPSLAM_HOIST_GATE", "1")
+        monkeypatch.setenv("SSPSLAM_CLEANUP_F32", "1")
+        from sspslam_tpu.models.slam import make_update_state_func
+        d = 4
+        f = make_update_state_func(-1.0, 0.3, d)   # always open
+        rng = np.random.default_rng(0)
+        rows = rng.normal(size=(60, 2 * d + 1)).astype(np.float32)
+        from sspslam_tpu.nef import TimeTable
+        with Network(seed=0) as net:
+            drive = Node(TimeTable(rows))
+            gate = Node(f, size_in=2 * d + 1, size_out=d)
+            Connection(drive, gate, synapse=None)
+            Probe(gate, synapse=None)
+        cross_check(net, T=0.06, seed=0, atol=1e-5)

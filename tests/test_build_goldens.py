@@ -152,6 +152,39 @@ class TestLstsqL2Golden:
         want = np.linalg.solve(G, A.T @ (eval_points ** 2).astype(np.float32))
         assert np.allclose(got, want, rtol=1e-4, atol=1e-8)
 
+    def test_radius_scales_explicit_eval_points(self):
+        """nengo's gen_eval_points (scale_eval_points=True) multiplies
+        explicit eval-point arrays by radius.  For an identity decode the
+        currents are radius-invariant (scaled_encoders divide by radius)
+        while the targets scale, so decoders must be exactly radius x the
+        radius=1 solution."""
+        radius = 2.0
+        encoders = np.array([[1.0], [-1.0], [1.0]])
+        max_rates = np.array([200.0, 300.0, 250.0])
+        intercepts = np.array([-0.3, -0.1, 0.2])
+        eval_points = np.linspace(-0.97, 0.97, 20)[:, None]
+        reg = 0.1
+        decs = {}
+        for r in (1.0, radius):
+            with Network(seed=0) as net:
+                ens = Ensemble(3, 1, radius=r, encoders=encoders,
+                               max_rates=max_rates, intercepts=intercepts)
+                out = Node(size_in=1)
+                Connection(ens, out, synapse=None, eval_points=eval_points,
+                           solver_reg=reg)
+            sim = Simulator(net, seed=0)
+            bc = next(c for c in sim.model.connections
+                      if c.decoders is not None)
+            decs[r] = np.asarray(bc.decoders, np.float64)
+        assert np.allclose(decs[radius], radius * decs[1.0], rtol=1e-5)
+        # ensemble-level explicit eval points scale the same way
+        with Network(seed=0) as net:
+            ens = Ensemble(3, 1, radius=radius, eval_points=eval_points)
+        sim = Simulator(net, seed=0)
+        be = sim.model.ensembles[0]
+        assert np.allclose(np.asarray(be.eval_points),
+                           eval_points * radius)
+
 
 class TestFilterPlacementGolden:
     def test_two_stage_filter_trace(self):

@@ -114,6 +114,46 @@ class TestCheckpointSemantics:
         sim.load_checkpoint(ck)
         assert sim.n_steps == 50
 
+    def test_rewind_in_checkpoint_born_session(self, tmp_path):
+        """A simulator whose probe buffers BEGAN at a loaded checkpoint
+        (fresh load at step N) must count buffered rows relative to that
+        start on a second load — not keep stale divergent-timeline rows."""
+        sim, p = _ramp_net(600)
+        sim.run_steps(100)
+        ck = str(tmp_path / "ck.npz")
+        sim.save_checkpoint(ck)
+
+        sim2, p2 = _ramp_net(600)
+        sim2.load_checkpoint(ck)            # fresh session starts at 100
+        assert sim2.data[p2].shape[0] == 0
+        sim2.run_steps(50)
+        branch_a = sim2.data[p2]
+        assert branch_a.shape[0] == 50
+        sim2.load_checkpoint(ck)            # rewind to the same point
+        assert sim2.data[p2].shape[0] == 0  # nothing from the dropped branch
+        sim2.run_steps(50)
+        np.testing.assert_allclose(sim2.data[p2], branch_a,
+                                   rtol=1e-6, atol=1e-8)
+        assert sim2.data[p2].shape[0] == 50
+
+    def test_rewind_before_buffer_start_clears(self, tmp_path):
+        sim, p = _ramp_net(600)
+        sim.run_steps(100)
+        early = str(tmp_path / "early.npz")
+        sim.save_checkpoint(early)
+        sim.run_steps(100)
+        late = str(tmp_path / "late.npz")
+        sim.save_checkpoint(late)
+
+        sim2, p2 = _ramp_net(600)
+        sim2.load_checkpoint(late)           # buffers begin at 200
+        sim2.run_steps(50)
+        assert sim2.data[p2].shape[0] == 50
+        sim2.load_checkpoint(early)          # step 100 < buffer start 200
+        assert sim2.data[p2].shape[0] == 0   # those samples were never seen
+        sim2.run_steps(10)
+        assert sim2.data[p2].shape[0] == 10
+
     def test_sparse_rewind(self, tmp_path):
         t = TestSparseProbes()
         sim, p = t._pes_net(1.0)

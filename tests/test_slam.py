@@ -265,3 +265,35 @@ class TestCleanupMethods:
                                   clean_up_method=method,
                                   cleanup_samples_per_dim=10, seed=0)
             assert (net.clean_up_fun is None) == (method is None)
+
+
+class TestAdapterDegenerateWorld:
+    def test_stationary_path_yields_finite_inputs(self, space):
+        """All-zero velocity (stationary agent): the reference's bare
+        1/max|A v| divide gives inf scale and NaN velocities that LIF
+        silently squashes; the adapter must fail soft to scale 1 and
+        finite signals (models/slam.py _vel_scale)."""
+        from sspslam_tpu.models import get_slam_input_functions
+        from sspslam_tpu.models.slam import get_slam_input_functions2
+        lm_space = SPSpace(2, space.ssp_dim, seed=0)
+        vels = np.zeros((50, 2))
+        path = np.zeros((50, 2))
+        landmarks = np.array([[0.2, 0.1], [-0.3, 0.2]])
+        vec = landmarks[None, :, :] - path[:, None, :]
+        for adapter in (get_slam_input_functions,
+                        get_slam_input_functions2):
+            out = adapter(space, lm_space, vels, vec, 0.8)
+            scale = out[1]
+            assert np.isfinite(scale) and scale == 1.0
+            vf = out[0]
+            assert np.all(np.isfinite(np.asarray(vf(0.01))))
+
+    def test_stationary_view_adapter(self, space):
+        from sspslam_tpu.models import get_slamview_input_functions
+        lm_space = SPSpace(2, space.ssp_dim, seed=0)
+        vels = np.zeros((50, 2))
+        vec = np.tile(np.array([[0.2, 0.1], [-0.3, 0.2]])[None], (50, 1, 1))
+        vf, scale, _, _ = get_slamview_input_functions(
+            space, lm_space, vels, vec, 0.8)
+        assert np.isfinite(scale) and scale == 1.0
+        assert np.all(np.isfinite(np.asarray(vf(0.01))))
