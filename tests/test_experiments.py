@@ -114,3 +114,18 @@ class TestExperimentScripts:
         assert result["n_ticks"] == 120
         assert result["explore_est_err_median"] < 0.8
         assert result["tick_latency_ms_median"] > 0
+
+
+class TestServingProbe:
+    def test_serving_probe_cpu(self):
+        import json
+        out = run_script("serving_probe.py", [
+            "--cpu", "--ssp-dim", "31", "--pi-n-neurons", "60",
+            "--mem-n-neurons", "80", "--circonv-n-neurons", "30",
+            "--cleanup-samples", "10", "--world-T", "2",
+            "--segment-steps", "500", "--timed-steps", "1000",
+            "--reps", "2"], timeout=600)
+        result = json.loads(out.strip().splitlines()[-1])
+        assert result["value"] > 0
+        assert result["live_engine_steps_per_s"] > 0
+        assert result["bundle_mb"] > 0
