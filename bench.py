@@ -274,6 +274,9 @@ def main():
                     help="comma list of B values: DP saturation-knee sweep "
                          "with MFU per point (e.g. 8,16,32,64)")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--no-chain", action="store_true",
+                    help="dispatch per segment instead of one chained "
+                         "scan-of-scans call per timed block")
     args = ap.parse_args()
 
     import jax
@@ -317,11 +320,26 @@ def main():
     sim.run_steps(seg, segment_steps=seg)
     sim.sync()
     log(f"compile+warmup ({seg} steps): {time.time() - t0:.1f}s")
+    # chaining only engages over the device-resident table; without one
+    # the "warmup" would just be an untimed full run
+    chain = not args.no_chain and sim._preloaded_dev is not None
+    if chain:
+        # warm the chained executable too (one scan-of-scans dispatch per
+        # timed block; removes the residual per-segment call overhead).
+        # Runs the same input window rep 0 would (rows seg..seg+n_timed),
+        # keeping the probe's early rows a contiguous world replay for the
+        # tracking sanity metric.
+        t0 = time.time()
+        sim.run_steps(n_timed, segment_steps=seg, chain=True)
+        sim.sync()
+        log(f"chained warmup ({n_timed} steps): {time.time() - t0:.1f}s")
+        # rewind so rep 0 replays the same rows (state carries on)
+        sim._preload_start = sim.n_steps - seg
 
     rates = []
     for rep in range(args.reps):
         t0 = time.time()
-        sim.run_steps(n_timed, segment_steps=seg)
+        sim.run_steps(n_timed, segment_steps=seg, chain=chain)
         sim.sync()   # block_until_ready alone can return early (tunnel)
         elapsed = time.time() - t0
         rates.append(n_timed / elapsed)

@@ -141,6 +141,23 @@ class Simulator:
         offs = np.cumsum([0] + sizes)
         return [(int(offs[i]), int(offs[i + 1])) for i in range(len(sizes))]
 
+    def _jit_segment(self, fn, n_rep_args: int):
+        """jit a segment runner ``fn(state, *aux, params)`` with the
+        mesh's shardings (state sharded, ``n_rep_args`` aux args
+        replicated, params per their own rule) — or a plain donate-state
+        jit off-mesh.  Shared by all three scan variants."""
+        if self.mesh is not None:
+            from ..parallel.sharding import (params_shardings, replicated,
+                                             state_shardings)
+            sh = state_shardings(self.model, self.mesh)
+            rep = replicated(self.mesh)
+            params_sh = params_shardings(self.params, self.mesh)
+            return jax.jit(fn,
+                           in_shardings=(sh,) + (rep,) * n_rep_args
+                           + (params_sh,),
+                           donate_argnums=0)
+        return jax.jit(fn, donate_argnums=0)
+
     def _get_scan(self, seg_len: int):
         if seg_len not in self._scan_cache:
             step = self._step_fn
@@ -162,20 +179,7 @@ class Simulator:
                 return jax.lax.scan(body, state, xs_cols, length=seg_len,
                                     unroll=unroll)
 
-            if self.mesh is not None:
-                from ..parallel.sharding import (params_shardings, replicated,
-                                                 state_shardings)
-                sh = state_shardings(self.model, self.mesh)
-                rep = replicated(self.mesh)
-                params_sh = params_shardings(self.params, self.mesh)
-                run_segment = jax.jit(
-                    run_segment,
-                    in_shardings=(sh, rep, params_sh),
-                    donate_argnums=0)
-            else:
-                run_segment = jax.jit(run_segment, donate_argnums=0)
-
-            self._scan_cache[seg_len] = run_segment
+            self._scan_cache[seg_len] = self._jit_segment(run_segment, 1)
         return self._scan_cache[seg_len]
 
     def _get_scan_dev(self, seg_len: int):
@@ -202,19 +206,39 @@ class Simulator:
                 return jax.lax.scan(body, state, xs_cols, length=seg_len,
                                     unroll=unroll)
 
-            if self.mesh is not None:
-                from ..parallel.sharding import (params_shardings, replicated,
-                                                 state_shardings)
-                sh = state_shardings(self.model, self.mesh)
-                rep = replicated(self.mesh)
-                params_sh = params_shardings(self.params, self.mesh)
-                run_segment_dev = jax.jit(
-                    run_segment_dev,
-                    in_shardings=(sh, rep, rep, params_sh),
-                    donate_argnums=0)
-            else:
-                run_segment_dev = jax.jit(run_segment_dev, donate_argnums=0)
-            self._scan_cache[key] = run_segment_dev
+            self._scan_cache[key] = self._jit_segment(run_segment_dev, 2)
+        return self._scan_cache[key]
+
+    def _get_scan_dev_chained(self, seg_len: int, n_chain: int):
+        """``n_chain`` compiled segments chained inside ONE jitted call
+        (scan of scans) over the device-resident table: a 50k-step timed
+        block becomes a single dispatch instead of ``n_chain``, removing
+        the residual per-call host overhead on tunnel backends.  Emits are
+        returned reshaped to ``(n_chain * seg_len, ...)`` so callers treat
+        the block as one long segment (same thinning arithmetic)."""
+        key = ("devchain", seg_len, n_chain)
+        if key not in self._scan_cache:
+            step = self._step_fn
+            splits = self._input_splits()
+            unroll = max(1, min(self.scan_unroll, seg_len))
+
+            def run_chained(state, table, start, params):
+                def outer(carry, i):
+                    xs_packed = jax.lax.dynamic_slice_in_dim(
+                        table, start + i * seg_len, seg_len, axis=0)
+                    xs_cols = [xs_packed[:, a:b] for a, b in splits]
+
+                    def body(c, xs):
+                        return step(c, xs, params)
+                    return jax.lax.scan(body, carry, xs_cols,
+                                        length=seg_len, unroll=unroll)
+                state2, emits = jax.lax.scan(
+                    outer, state, jnp.arange(n_chain, dtype=jnp.int32))
+                emits = {k: v.reshape((n_chain * seg_len,) + v.shape[2:])
+                         for k, v in emits.items()}
+                return state2, emits
+
+            self._scan_cache[key] = self._jit_segment(run_chained, 2)
         return self._scan_cache[key]
 
     # ------------------------------------------------------------------
@@ -334,7 +358,14 @@ class Simulator:
             segment_steps = self.DEFAULT_SEGMENT_STEPS
         return min(segment_steps, n_steps)
 
-    def run_steps(self, n_steps: int, segment_steps: Optional[int] = None):
+    def run_steps(self, n_steps: int, segment_steps: Optional[int] = None,
+                  chain: bool = False):
+        """Advance ``n_steps``.  ``chain=True`` additionally fuses whole
+        multiples of ``segment_steps`` into one jitted scan-of-scans
+        dispatch when the device-resident input table covers them (see
+        :meth:`_get_scan_dev_chained`) — opt-in because each distinct
+        (segment, multiple) pair is a fresh compile; benchmarks and long
+        production runs with a fixed block size are the intended users."""
         model = self.model
         if segment_steps is None:
             segment_steps = self._default_segment_steps(n_steps)
@@ -370,7 +401,23 @@ class Simulator:
                 to_next = min((p - cum % p) or p for p in sparse_periods)
                 seg = min(seg, to_next)
             lo = base + done
-            if dev_table is not None and lo + seg <= dev_table.shape[0]:
+            emits = None
+            if (chain and not sparse_periods and dev_table is not None
+                    and seg == segment_steps):
+                # chain every whole remaining segment the table covers
+                # into one dispatch; emits come back (n_chain*seg, ...) so
+                # the shared probe bookkeeping below treats the block as
+                # one long segment
+                n_chain = min((n_steps - done) // seg,
+                              (dev_table.shape[0] - lo) // seg)
+                if n_chain > 1:
+                    run_chained = self._get_scan_dev_chained(seg, n_chain)
+                    self.state, emits = run_chained(
+                        self.state, dev_table, np.int32(lo), self.params)
+                    seg = seg * n_chain
+            if emits is not None:
+                pass
+            elif dev_table is not None and lo + seg <= dev_table.shape[0]:
                 # device-resident table: compiled dynamic_slice, no input
                 # upload per segment
                 run_segment = self._get_scan_dev(seg)

@@ -88,6 +88,32 @@ class TestSparseProbes:
                                    rtol=1e-6, atol=1e-8)
 
 
+class TestChainedSegments:
+    def test_chained_matches_unchained(self):
+        """run_steps(chain=True) fuses whole segments into one
+        scan-of-scans dispatch; state and probe rows must match the
+        per-segment path."""
+        n, seg = 900, 200
+        sim1, p1 = _ramp_net(n, sample_every=0.007)
+        sim1.preload_inputs(n)
+        sim1.run_steps(n, segment_steps=seg)
+        want = sim1.data[p1]
+
+        sim2, p2 = _ramp_net(n, sample_every=0.007)
+        sim2.preload_inputs(n)
+        sim2.run_steps(n, segment_steps=seg, chain=True)
+        got = sim2.data[p2]
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(
+            np.asarray(sim2.state["step"]), np.asarray(sim1.state["step"]))
+
+    def test_chain_without_table_falls_back(self):
+        sim, p = _ramp_net(300)
+        sim.run_steps(300, segment_steps=100, chain=True)  # no preload
+        assert sim.data[p].shape[0] == 300
+
+
 class TestCheckpointSemantics:
     def test_rewind_truncates_probe_buffers(self, tmp_path):
         sim, p = _ramp_net(600)
