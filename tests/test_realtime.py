@@ -208,3 +208,28 @@ class TestValidation:
         assert sim.n_steps == 0               # warm-up did not advance time
         out = sess.tick({live: np.array([0.1])})[p]
         assert out.shape == (13, 1)
+
+
+class TestSparseWarning:
+    def test_warns_when_sparse_period_shorter_than_tick(self):
+        from sspslam_tpu.nef import PES
+        with Network(seed=0) as net:
+            inp = Node(lambda t: np.array([0.5]))
+            a = Ensemble(30, 1, neuron_type=LIFRate())
+            b = Node(size_in=1)
+            Connection(inp, a, synapse=None)
+            c = Connection(a, b, function=lambda x: x * 0,
+                           learning_rule_type=PES(1e-3))
+            err = Node(lambda t, x: x, size_in=1)
+            Connection(b, err, synapse=0.005)
+            Connection(err, c.learning_rule, synapse=None)
+            Probe(c, "weights", sample_every=0.01)   # period 10 < tick 50
+        sim = Simulator(net, seed=0)
+        with pytest.warns(UserWarning, match="sparse probe"):
+            ClosedLoopSession(sim, live_inputs=[], tick_steps=50)
+        # no warning when the tick divides into the period
+        sim2 = Simulator(net, seed=0)
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            ClosedLoopSession(sim2, live_inputs=[], tick_steps=10)
