@@ -205,12 +205,31 @@ def bench_batched(args, sim):
     jax.block_until_ready(state); np.asarray(state["step"])
     log(f"batched compile+first: {time.time() - t0:.1f}s")
     n_chain = max(1, args.timed_steps // seg)
+    chained = n_chain > 1 and not args.no_chain
+    if chained:
+        # one dispatch per rep: outer scan repeats the segment body over
+        # the same device-resident xs block (reps replay identical inputs
+        # anyway; state carries)
+        def chain_fn(state, xs):
+            def outer(c, _):
+                c2, _e = scan_fn(c, xs)
+                return c2, None
+            s2, _ = jax.lax.scan(outer, state, None, length=n_chain)
+            return s2
+        fn_chain = jax.jit(chain_fn)
+        t0 = time.time()
+        s = fn_chain(state0, xs)
+        jax.block_until_ready(s); np.asarray(s["step"])
+        log(f"chained batched compile+first: {time.time() - t0:.1f}s")
     rates = []
     for rep in range(args.reps):
         t0 = time.time()
-        s = state0
-        for _ in range(n_chain):
-            s, _e = fn(s, xs)
+        if chained:
+            s = fn_chain(state0, xs)
+        else:
+            s = state0
+            for _ in range(n_chain):
+                s, _e = fn(s, xs)
         jax.block_until_ready(s); np.asarray(s["step"])
         el = time.time() - t0
         rates.append(B * n_chain * seg / el)
