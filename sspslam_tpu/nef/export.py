@@ -23,6 +23,12 @@ one artifact built once on a dev box.  Learned state (PES decoders, Voja
 encoders) lives in the carry, so a bundle whose carry was saved after
 training ships the learned map with it; :meth:`ServingModel.load_state`
 swaps in any later :meth:`Simulator.save_checkpoint` file.
+
+Mesh-sharded Simulators export SHARDED bundles: the mesh geometry and
+per-leaf ``PartitionSpec``s are recorded in ``meta.json``, and the serving
+process rebuilds the mesh (same device count required) and jit-wraps the
+exported program with the recorded shardings — multi-chip tensor-parallel
+serving from the same single artifact.
 """
 
 from __future__ import annotations
@@ -67,6 +73,23 @@ def _shape_structs(tree):
         tree)
 
 
+# -- PartitionSpec (de)serialization for sharded (mesh) bundles -------------
+def _spec_to_json(sharding):
+    # entries are None | str | tuple[str]
+    return [list(e) if isinstance(e, tuple) else e for e in sharding.spec]
+
+
+def _spec_from_json(entries):
+    from jax.sharding import PartitionSpec
+    return PartitionSpec(*[tuple(e) if isinstance(e, list) else e
+                           for e in entries])
+
+
+def _tree_specs(shardings_tree):
+    leaves, _ = jax.tree_util.tree_flatten(shardings_tree)
+    return [_spec_to_json(s) for s in leaves]
+
+
 # ---------------------------------------------------------------------------
 def save_bundle(sim, path: str, segment_steps: int = 1000,
                 platforms=None) -> None:
@@ -101,7 +124,26 @@ def save_bundle(sim, path: str, segment_steps: int = 1000,
     kwargs = {}
     if platforms is not None:
         kwargs["platforms"] = list(platforms)
-    exp = jax.export.export(jax.jit(run_segment), **kwargs)(
+    mesh_meta = None
+    if sim.mesh is not None:
+        # sharded (multi-chip) bundle: export the mesh-jitted program and
+        # record the mesh geometry + per-leaf PartitionSpecs so the
+        # serving process can rebuild the same sharding layout
+        from ..parallel.sharding import (params_shardings, replicated,
+                                         state_shardings)
+        st_sh = state_shardings(sim.model, sim.mesh)
+        p_sh = params_shardings(sim.params, sim.mesh)
+        jitted = jax.jit(run_segment,
+                         in_shardings=(st_sh, replicated(sim.mesh), p_sh))
+        mesh_meta = {
+            "axis_names": list(sim.mesh.axis_names),
+            "shape": [int(s) for s in sim.mesh.devices.shape],
+            "state_specs": _tree_specs(st_sh),
+            "params_specs": _tree_specs(p_sh),
+        }
+    else:
+        jitted = jax.jit(run_segment)
+    exp = jax.export.export(jitted, **kwargs)(
         _shape_structs(state_now),
         jax.ShapeDtypeStruct((seg, width), np.float32),
         _shape_structs(sim.params))
@@ -156,6 +198,7 @@ def save_bundle(sim, path: str, segment_steps: int = 1000,
                    for lab, bp in zip(pr_labels, dense_probes)],
         "params_spec": params_spec,
         "state_spec": state_spec,
+        "mesh": mesh_meta,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -188,6 +231,41 @@ class ServingModel:
             sum(1 for k in data.files if k.startswith("s")))]
         self.params = _build(self.meta["params_spec"], p_leaves)
         self._state0 = _build(self.meta["state_spec"], s_leaves)
+        self.mesh = None
+        self._state_sh = None
+        self._call = self._exp.call
+        mm = self.meta.get("mesh")
+        if mm:
+            # sharded bundle: rebuild the mesh geometry and jit-wrap the
+            # exported call with the recorded per-leaf shardings (an
+            # exported n-device program must be invoked from an n-device
+            # jit context)
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            n_dev = int(np.prod(mm["shape"]))
+            devs = jax.devices()
+            if len(devs) < n_dev:
+                raise RuntimeError(
+                    f"bundle was exported for a {mm['shape']} mesh "
+                    f"({n_dev} devices); this process has {len(devs)}")
+            self.mesh = Mesh(np.asarray(devs[:n_dev]).reshape(mm["shape"]),
+                             tuple(mm["axis_names"]))
+
+            def shardings_from(specs, tree):
+                leaves, treedef = jax.tree_util.tree_flatten(tree)
+                shs = [NamedSharding(self.mesh, _spec_from_json(s))
+                       for s in specs]
+                if len(shs) != len(leaves):
+                    raise ValueError("bundle sharding specs do not match "
+                                     "the array tree")
+                return jax.tree_util.tree_unflatten(treedef, shs)
+
+            self._state_sh = shardings_from(mm["state_specs"], self._state0)
+            p_sh = shardings_from(mm["params_specs"], self.params)
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            self.params = jax.device_put(self.params, p_sh)
+            self._state0 = jax.device_put(self._state0, self._state_sh)
+            self._call = jax.jit(self._exp.call,
+                                 in_shardings=(self._state_sh, rep, p_sh))
         self.state = self._state0
         self.dt = float(self.meta["dt"])
         self.segment_steps = int(self.meta["segment_steps"])
@@ -220,7 +298,10 @@ class ServingModel:
             leaves = [f[f"leaf_{i}"] for i in range(n)]
             n_steps = int(f["n_steps"])
         ref = jax.tree_util.tree_structure(self.state)
-        self.state = jax.tree_util.tree_unflatten(ref, leaves)
+        state = jax.tree_util.tree_unflatten(ref, leaves)
+        if self._state_sh is not None:
+            state = jax.device_put(state, self._state_sh)
+        self.state = state
         self.n_steps = n_steps
 
     def step_segment(self, xs_packed: np.ndarray):
@@ -230,7 +311,7 @@ class ServingModel:
         if xs_packed.shape != (seg, self.input_width):
             raise ValueError(f"xs_packed must be ({seg}, {self.input_width})"
                              f", got {xs_packed.shape}")
-        self.state, emits = self._exp.call(self.state, xs_packed, self.params)
+        self.state, emits = self._call(self.state, xs_packed, self.params)
         self.n_steps += seg
         return emits
 

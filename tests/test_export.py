@@ -177,6 +177,41 @@ class TestRoundTrip:
         np.testing.assert_array_equal(out["out_2"], sim.data[pb])
 
 
+class TestShardedBundle:
+    def test_mesh_bundle_roundtrip(self, tmp_path):
+        """A bundle exported from a mesh-sharded Simulator records the mesh
+        geometry + per-leaf PartitionSpecs; ServingModel rebuilds the mesh
+        and serves the sharded program (multi-chip serving from one
+        artifact)."""
+        import jax
+        from sspslam_tpu.parallel import make_mesh
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        n, seg = 80, 40
+
+        def build(mesh=None):
+            with Network(seed=0) as net:
+                inp = Node(TimeTable(_table(n)), label="drive")
+                a = Ensemble(64, 1, neuron_type=LIFRate())
+                Connection(inp, a, synapse=None)
+                p = Probe(a, synapse=0.01, label="out")
+            return Simulator(net, seed=0, mesh=mesh), p
+
+        mesh = make_mesh(8)
+        sim, p = build(mesh)
+        xs = sim._pack_cols(sim._tabulate_inputs(n))
+        save_bundle(sim, str(tmp_path / "b"), segment_steps=seg)
+        meta = json.load(open(tmp_path / "b" / "meta.json"))
+        assert meta["mesh"]["shape"] == [8]
+        sim.run_steps(n, segment_steps=seg)
+        want = sim.data[p]
+
+        m = ServingModel(str(tmp_path / "b"))
+        assert m.mesh is not None
+        out = m.run(xs)["out"]
+        np.testing.assert_allclose(out, want, rtol=1e-6, atol=1e-7)
+
+
 class TestServingProcess:
     def test_loads_without_model_graph(self, tmp_path):
         """A fresh process loads the bundle and steps it WITHOUT ever
