@@ -296,9 +296,15 @@ def main():
     ap.add_argument("--no-chain", action="store_true",
                     help="dispatch per segment instead of one chained "
                          "scan-of-scans call per timed block")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests; the session "
+                         "presets a TPU tunnel platform that an env var "
+                         "alone cannot override)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     log(f"devices: {jax.devices()}")
 
     if args.model in ("pi", "pi-fast"):

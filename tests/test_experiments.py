@@ -129,3 +129,27 @@ class TestServingProbe:
         assert result["value"] > 0
         assert result["live_engine_steps_per_s"] > 0
         assert result["bundle_mb"] > 0
+
+
+class TestBenchSmoke:
+    def test_bench_cpu_tiny(self):
+        """bench.py end-to-end on CPU at toy scale, including the chained
+        timed path and the host-interpreter baseline — this is the
+        artifact the driver runs at round end."""
+        import json
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        proc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "bench.py"),
+             "--cpu", "--ssp-dim", "31", "--pi-n-neurons", "60",
+             "--mem-n-neurons", "80", "--circonv-n-neurons", "30",
+             "--cleanup-samples", "10", "--world-T", "2",
+             "--segment-steps", "500", "--timed-steps", "1000",
+             "--reps", "2", "--baseline-steps", "30",
+             "--baseline-reps", "2"],
+            capture_output=True, text=True, timeout=900, cwd=ROOT, env=env)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        line = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert line["unit"] == "steps/s" and line["value"] > 0
+        assert line["vs_baseline"] and line["vs_baseline"] > 1
+        assert "tracking_cosine" in line and "mfu" in line
