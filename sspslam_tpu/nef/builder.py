@@ -961,6 +961,14 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                 bp.kind, bp.target = "activities", be
             bp.elem_index = fused_elem.get(id(tgt.ensemble))
         elif isinstance(tgt, Ensemble):
+            if p.attr is not None:
+                # silent-misparse guard: Probe(ens, "scaled_encoders")
+                # would otherwise build a decoded-output probe
+                raise ValueError(
+                    f"unknown probe attr {p.attr!r} for an Ensemble "
+                    "(decoded output takes no attr; probe "
+                    "conn.learning_rule for 'scaled_encoders'/'weights', "
+                    "ens.neurons for 'voltage'/activities)")
             be = built_by_obj[id(tgt)]
             bp.kind, bp.target = "ens_decoded", be
             j = fused_elem.get(id(tgt))

@@ -186,6 +186,125 @@ class TestLstsqL2Golden:
                            eval_points * radius)
 
 
+class TestLearningGolden:
+    """Hand-rolled float traces of the PES / Voja update semantics.
+
+    The jit executor and the NumPy interpreter share ops/learning.py, so
+    a systematic error in the update math or its filter placements passes
+    the backend cross-check.  These recurrences are written inline from
+    the published rules (nengo pes.py/voja.py):
+      PES   dD = -(kappa dt / n) a_filt e^T,  a_filt through the rule's
+            pre_synapse Lowpass(0.005), error through the rule-input
+            connection (unfiltered here), D applied to THIS step's output
+            BEFORE the update;
+      Voja  dE = kappa dt s (scale a x^T - a E), a through post_synapse,
+            E read at the TOP of the step.
+    """
+
+    def test_pes_one_dt_trace(self):
+        from sspslam_tpu.nef import PES
+        dt = 0.001
+        kappa = 2e-2
+        pre_tau = 0.005
+        x_in = 0.4
+        encoders = np.array([[1.0], [-1.0]])
+        max_rates = np.array([220.0, 310.0])
+        intercepts = np.array([-0.3, -0.1])
+        n_steps = 12
+        with Network(seed=0) as net:
+            u = Node(lambda t: np.array([x_in]))
+            tgt = Node(lambda t: np.array([x_in]))
+            a = Ensemble(2, 1, neuron_type=LIFRate(), encoders=encoders,
+                         max_rates=max_rates, intercepts=intercepts)
+            mid = Node(size_in=1)
+            err = Node(size_in=1)
+            Connection(u, a, synapse=None)
+            c = Connection(a, mid, function=lambda x: x * 0,
+                           learning_rule_type=PES(kappa,
+                                                  pre_synapse=pre_tau),
+                           synapse=None)
+            Connection(mid, err, synapse=None)
+            Connection(tgt, err, transform=-1, synapse=None)
+            Connection(err, c.learning_rule, synapse=None)
+            p = Probe(mid)
+        sim = Simulator(net, seed=0)
+        sim.run_steps(n_steps, segment_steps=n_steps)
+        got = np.asarray(sim.data[p]).ravel()
+
+        # ---- hand recurrence (published formulas only) ----
+        gains = np.empty(2)
+        biases = np.empty(2)
+        for i in range(2):
+            gains[i], biases[i] = lif_gain_bias_formula(max_rates[i],
+                                                        intercepts[i])
+        J = gains * encoders[:, 0] * x_in + biases
+        rates = lif_rate_formula(J).astype(np.float32)      # constant
+        af = math.exp(-dt / pre_tau)
+        D = np.zeros((2, 1), np.float32)
+        f_a = np.zeros(2, np.float32)
+        want = []
+        for _ in range(n_steps):
+            mid_v = (rates @ D).item()          # pre-update decoders
+            e = mid_v - x_in
+            want.append(mid_v)
+            f_a = af * f_a + (1 - af) * rates   # rule's filtered activities
+            D = D - (kappa * dt / 2) * np.outer(f_a, [e]).astype(np.float32)
+        assert np.allclose(got, want, rtol=1e-5, atol=1e-7), (got, want)
+        # and learning actually moved the estimate toward the target
+        assert abs(got[-1] - x_in) < abs(got[0] - x_in)
+
+    def test_voja_one_dt_trace(self):
+        from sspslam_tpu.nef import Voja
+        dt = 0.001
+        kappa = 5e-2
+        post_tau = 0.005
+        key = np.array([0.8, -0.6], np.float32)   # unit key vector
+        encoders = np.array([[1.0, 0.0], [0.0, 1.0]])
+        max_rates = np.array([250.0, 300.0])
+        intercepts = np.array([-0.5, -0.5])
+        n_steps = 10
+        with Network(seed=0) as net:
+            u = Node(lambda t: key)
+            a = Ensemble(2, 2, neuron_type=LIFRate(), encoders=encoders,
+                         max_rates=max_rates, intercepts=intercepts)
+            c = Connection(u, a, synapse=None,
+                           learning_rule_type=Voja(kappa,
+                                                   post_synapse=post_tau))
+            p = Probe(c.learning_rule, attr="scaled_encoders",
+                      sample_every=dt)
+        sim = Simulator(net, seed=0)
+        sim.run_steps(n_steps, segment_steps=n_steps)
+        got = np.asarray(sim.data[p])             # (n_steps, 2, 2)
+
+        gains = np.empty(2)
+        biases = np.empty(2)
+        for i in range(2):
+            gains[i], biases[i] = lif_gain_bias_formula(max_rates[i],
+                                                        intercepts[i])
+        # radius 1: scaled_encoders = gain * encoders
+        E = (gains[:, None] * encoders).astype(np.float32)
+        scale = gains.astype(np.float32)
+        af = math.exp(-dt / post_tau)
+        f_a = np.zeros(2, np.float32)
+        want = []
+        for _ in range(n_steps):
+            J = E @ key + biases                  # E read at top of step
+            rates = lif_rate_formula(J).astype(np.float32)
+            f_a = af * f_a + (1 - af) * rates     # post_synapse filter
+            E = E + (kappa * dt) * (
+                scale[:, None] * np.outer(f_a, key)
+                - f_a[:, None] * E).astype(np.float32)
+            want.append(E.copy())                 # probe reads post-update
+        want = np.stack(want)
+        assert got.shape == want.shape
+        assert np.allclose(got, want, rtol=1e-5, atol=1e-7), (
+            got[-1], want[-1])
+        # encoder rows drift toward the key direction
+        cos0 = encoders[0] @ key
+        cosN = (E[0] / np.linalg.norm(E[0])) @ key
+        assert cosN > cos0
+
+
 class TestFilterPlacementGolden:
     def test_two_stage_filter_trace(self):
         """Hand-rolled discrete trace of a two-connection lowpass chain.
