@@ -212,6 +212,42 @@ class TestShardedBundle:
         np.testing.assert_allclose(out, want, rtol=1e-6, atol=1e-7)
 
 
+    def test_mesh_bundle_rejects_too_few_devices(self, tmp_path):
+        """Loading an 8-device bundle in a 1-device process must fail with
+        a clear error, not a shape crash deep in XLA."""
+        import jax
+        from sspslam_tpu.parallel import make_mesh
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        n, seg = 40, 20
+        with Network(seed=0) as net:
+            inp = Node(TimeTable(_table(n)), label="drive")
+            a = Ensemble(64, 1, neuron_type=LIFRate())
+            Connection(inp, a, synapse=None)
+            Probe(a, synapse=0.01, label="out")
+        sim = Simulator(net, seed=0, mesh=make_mesh(8))
+        save_bundle(sim, str(tmp_path / "b"), segment_steps=seg)
+
+        script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+from sspslam_tpu.nef.export import ServingModel
+try:
+    ServingModel({str(str(tmp_path / 'b'))!r})
+except RuntimeError as e:
+    assert "8 devices" in str(e) or "mesh" in str(e), e
+    print("REJECTED_OK")
+"""
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = ("/root/repo" + os.pathsep
+                             + env.get("PYTHONPATH", ""))
+        r = subprocess.run([sys.executable, "-c", script], env=env,
+                           capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "REJECTED_OK" in r.stdout
+
+
 class TestServingProcess:
     def test_loads_without_model_graph(self, tmp_path):
         """A fresh process loads the bundle and steps it WITHOUT ever
