@@ -168,3 +168,19 @@ class TestValidateLoopClosureSmoke:
         line = json.loads(out.strip().splitlines()[-1])
         assert line["slam_median"] < line["pi_median"] * 1.5
         assert np.isfinite(line["slam_final"])
+
+
+class TestTpScalingSmoke:
+    def test_virtual_mesh_tiny(self, tmp_path):
+        """tp_scaling (the MULTICHIP.md evidence generator) runs on the
+        virtual mesh and emits per-mesh FLOP ratios."""
+        import json
+        out = run_script("tp_scaling.py", [
+            "--steps", "20", "--ssp-dim", "31", "--pi-n-neurons", "48",
+            "--mem-n-neurons", "64", "--circonv-n-neurons", "16",
+            "--n-landmarks", "4", "--mesh-sizes", "1,2", "--reps", "1",
+            "--json-out", str(tmp_path / "tp.json")], timeout=900)
+        data = json.load(open(tmp_path / "tp.json"))
+        meshes = {r["mesh"] for r in data["rows"]} if "rows" in data \
+            else {r["mesh"] for r in data}
+        assert {1, 2} <= meshes
