@@ -149,7 +149,15 @@ def main():
     ap.add_argument("--pi-n-neurons", type=int, default=800)
     ap.add_argument("--mem-n-neurons", type=int, default=970)
     ap.add_argument("--circonv-n-neurons", type=int, default=100)
+    ap.add_argument("--quick", action="store_true",
+                    help="trimmed grids (2x2 gate, 2 refinements, top-1 "
+                         "confirmation) — smoke tests")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     base = dict(update_thres=0.2, shift_rate=0.2, voja_lr=1e-4,
                 pes_lr=5e-3, intercept=0.1)
@@ -179,8 +187,9 @@ def main():
         return med
 
     # stage 1: gate grid
-    for thr, sr in itertools.product([0.05, 0.1, 0.2, 0.4],
-                                     [0.1, 0.2, 0.5, 1.0]):
+    thr_grid = [0.1, 0.4] if args.quick else [0.05, 0.1, 0.2, 0.4]
+    sr_grid = [0.1, 0.5] if args.quick else [0.1, 0.2, 0.5, 1.0]
+    for thr, sr in itertools.product(thr_grid, sr_grid):
         cfg = dict(base, update_thres=thr, shift_rate=sr)
         evaluate(cfg, world, "s1")
 
@@ -191,9 +200,11 @@ def main():
 
     # stage 2: learning/intercept refinements around the best gate
     stage2 = []
-    for pes, voja, icpt in itertools.product([5e-3, 1e-2, 2e-2],
-                                             [1e-4, 5e-4],
-                                             [0.1, 0.3]):
+    pes_grid = [5e-3, 2e-2] if args.quick else [5e-3, 1e-2, 2e-2]
+    voja_grid = [1e-4] if args.quick else [1e-4, 5e-4]
+    icpt_grid = [0.1] if args.quick else [0.1, 0.3]
+    for pes, voja, icpt in itertools.product(pes_grid, voja_grid,
+                                             icpt_grid):
         cfg = dict(best_gate, pes_lr=pes, voja_lr=voja, intercept=icpt)
         med = evaluate(cfg, world, "s2")
         stage2.append((med, cfg))

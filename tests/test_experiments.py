@@ -184,3 +184,18 @@ class TestTpScalingSmoke:
         meshes = {r["mesh"] for r in data["rows"]} if "rows" in data \
             else {r["mesh"] for r in data}
         assert {1, 2} <= meshes
+
+
+class TestTuneLoopClosureSmoke:
+    def test_quick_sweep_cpu(self):
+        """The zero-recompile tuning sweep (hoisted gate params) runs its
+        trimmed grid end-to-end and ranks configs."""
+        out = run_script("tune_loop_closure.py", [
+            "--cpu", "--quick", "--T", "2", "--final-T", "3",
+            "--ssp-dim", "31", "--n-landmarks", "4", "--view-rad", "0.6",
+            "--limit", "1.0", "--pi-n-neurons", "60",
+            "--mem-n-neurons", "80", "--circonv-n-neurons", "20",
+            "--segment-steps", "500", "--top", "1"], timeout=900)
+        assert "best gate" in out
+        assert "stage-2 ranking" in out
+        assert "stage-3 confirmation" in out
