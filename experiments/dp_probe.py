@@ -38,7 +38,12 @@ def main():
     ap.add_argument("--unroll", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--variants", default="A,B,C,D")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp

@@ -49,7 +49,13 @@ def main():
     ap.add_argument("--measured-us", type=float, default=None,
                     help="profiler-measured device us/step "
                          "(device_time_probe); printed alongside if given")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests; the cost "
+                         "analysis then reflects the CPU lowering)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import importlib.util
     spec = importlib.util.spec_from_file_location(

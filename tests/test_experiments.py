@@ -199,3 +199,38 @@ class TestTuneLoopClosureSmoke:
         assert "best gate" in out
         assert "stage-2 ranking" in out
         assert "stage-3 confirmation" in out
+
+
+class TestAnalysisProbesSmoke:
+    def test_step_roofline_cpu(self):
+        import json
+        out = run_script("step_roofline.py", [
+            "--cpu", "--ssp-dim", "31", "--pi-n-neurons", "60",
+            "--mem-n-neurons", "80", "--circonv-n-neurons", "30",
+            "--cleanup-samples", "10", "--seg", "4",
+            "--scan-unroll", "4"], timeout=600)
+        report = json.loads(out.strip())
+        flat = json.dumps(report)
+        assert "flop" in flat.lower() and "byte" in flat.lower()
+
+    def test_dp_probe_cpu(self):
+        out = run_script("dp_probe.py", [
+            "--cpu", "--batch", "2", "--steps", "50", "--pi-n", "40",
+            "--ssp-dim", "19", "--reps", "1", "--variants", "A"],
+            timeout=600)
+        # results go to stderr via log(); returncode 0 is the contract
+        assert out is not None
+
+    def test_gate_fidelity_tiny(self):
+        out = run_script("gate_fidelity.py", [
+            "--T", "2", "--ssp-dim", "19", "--pi-n-neurons", "60",
+            "--mem-n-neurons", "80", "--circonv-n-neurons", "20",
+            "--n-landmarks", "3"], timeout=600)
+        assert "engaged frac" in out
+
+    def test_make_example_paths(self, tmp_path):
+        out = run_script("make_example_paths.py", [
+            "--out-dir", str(tmp_path)])
+        assert os.path.exists(tmp_path / "twoRooms_path.npy")
+        arr = np.load(tmp_path / "twoRooms_path.npy")
+        assert arr.ndim == 2 and arr.shape[1] == 2
