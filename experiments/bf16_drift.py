@@ -57,7 +57,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--limit", type=float, default=0.1)
     ap.add_argument("--segment-steps", type=int, default=2000)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 

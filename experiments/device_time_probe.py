@@ -35,7 +35,12 @@ def main():
     ap.add_argument("--segment-steps", type=int, default=1000)
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--top", type=int, default=0, help="print top-N ops")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     import importlib.util
     spec = importlib.util.spec_from_file_location(

@@ -85,7 +85,12 @@ def main():
     ap.add_argument("--segment-steps", type=int, default=5000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--f32-only", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     bench = load_bench()
 
     rows = []
