@@ -205,7 +205,8 @@ def bench_batched(args, sim):
     jax.block_until_ready(state); np.asarray(state["step"])
     log(f"batched compile+first: {time.time() - t0:.1f}s")
     n_chain = max(1, args.timed_steps // seg)
-    chained = n_chain > 1 and not args.no_chain
+    mode = "off" if args.no_chain else getattr(args, "chain_mode", "auto")
+    chained = n_chain > 1 and mode != "off"
     if chained:
         # one dispatch per rep: outer scan repeats the segment body over
         # the same device-resident xs block (reps replay identical inputs
@@ -221,6 +222,24 @@ def bench_batched(args, sim):
         s = fn_chain(state0, xs)
         jax.block_until_ready(s); np.asarray(s["step"])
         log(f"chained batched compile+first: {time.time() - t0:.1f}s")
+    if chained and mode == "auto":
+        # same auto-probe as the single-episode path: the outer scan can
+        # compile worse than async per-segment dispatch on some backends
+        def probe(use_chain):
+            t0 = time.time()
+            if use_chain:
+                s = fn_chain(state0, xs)
+            else:
+                s = state0
+                for _ in range(n_chain):
+                    s, _e = fn(s, xs)
+            jax.block_until_ready(s); np.asarray(s["step"])
+            return B * n_chain * seg / (time.time() - t0)
+        r_chain, r_plain = probe(True), probe(False)
+        chained = r_chain > r_plain
+        log(f"chain-mode auto (batched): chained {r_chain:.0f} vs "
+            f"per-segment {r_plain:.0f} agg steps/s -> "
+            f"{'chained' if chained else 'per-segment'}")
     rates = []
     for rep in range(args.reps):
         t0 = time.time()
@@ -293,9 +312,19 @@ def main():
                     help="comma list of B values: DP saturation-knee sweep "
                          "with MFU per point (e.g. 8,16,32,64)")
     ap.add_argument("--skip-baseline", action="store_true")
+    ap.add_argument("--chain-mode", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="'on': one chained scan-of-scans dispatch per timed "
+                         "block; 'off': dispatch per segment (async calls "
+                         "pipeline); 'auto' (default): time one warm block "
+                         "each way and keep the faster — which wins depends "
+                         "on the tunnel generation (round 3 measured chain "
+                         "66.2k vs plain 50.3k steps/s on one tunnel and "
+                         "chain 48.5k vs plain 67.0k on its replacement, "
+                         "whose server-side XLA compiles the outer scan "
+                         "5.5 us/step worse)")
     ap.add_argument("--no-chain", action="store_true",
-                    help="dispatch per segment instead of one chained "
-                         "scan-of-scans call per timed block")
+                    help="alias for --chain-mode off")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests; the session "
                          "presets a TPU tunnel platform that an env var "
@@ -347,19 +376,41 @@ def main():
     log(f"compile+warmup ({seg} steps): {time.time() - t0:.1f}s")
     # chaining only engages over the device-resident table; without one
     # the "warmup" would just be an untimed full run
-    chain = not args.no_chain and sim._preloaded_dev is not None
-    if chain:
-        # warm the chained executable too (one scan-of-scans dispatch per
-        # timed block; removes the residual per-segment call overhead).
-        # Runs the same input window rep 0 would (rows seg..seg+n_timed),
-        # keeping the probe's early rows a contiguous world replay for the
-        # tracking sanity metric.
+    mode = "off" if args.no_chain else args.chain_mode
+    if sim._preloaded_dev is None:
+        mode = "off"
+
+    def timed_block(chain):
+        """One warm timed block; rewinds the input pointer after."""
+        t0 = time.time()
+        sim.run_steps(n_timed, segment_steps=seg, chain=chain)
+        sim.sync()
+        el = time.time() - t0
+        sim._preload_start = sim.n_steps - seg
+        return n_timed / el
+
+    if mode in ("on", "auto"):
+        # warm the chained executable (one scan-of-scans dispatch per
+        # timed block).  Runs the same input window rep 0 would (rows
+        # seg..seg+n_timed), keeping the probe's early rows a contiguous
+        # world replay for the tracking sanity metric.
         t0 = time.time()
         sim.run_steps(n_timed, segment_steps=seg, chain=True)
         sim.sync()
         log(f"chained warmup ({n_timed} steps): {time.time() - t0:.1f}s")
-        # rewind so rep 0 replays the same rows (state carries on)
         sim._preload_start = sim.n_steps - seg
+    if mode == "auto":
+        # which dispatch mode wins depends on the tunnel generation:
+        # chaining removes per-segment call overhead but the outer scan
+        # can compile worse (measured +5.5 us/step device on one backend
+        # revision).  Probe one warm block each way and keep the faster.
+        r_chain = timed_block(True)
+        r_plain = timed_block(False)
+        chain = r_chain > r_plain
+        log(f"chain-mode auto: chained {r_chain:.0f} vs per-segment "
+            f"{r_plain:.0f} steps/s -> {'chained' if chain else 'per-segment'}")
+    else:
+        chain = mode == "on"
 
     rates = []
     for rep in range(args.reps):
