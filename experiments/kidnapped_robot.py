@@ -1,0 +1,272 @@
+"""Kidnapped-robot relocalization: the learned landmark map re-localizes
+the path integrator after a teleport the odometry never sees.
+
+Protocol (no reference counterpart — the classic SLAM relocalization
+probe, built from the same pieces as validate_loop_closure.py):
+
+  phase A [0, t_k):  the agent explores a WhiteSignal path and the
+                     associative memory learns the landmark map;
+  kidnap  at t_k:    the TRUE position jumps to the start of an
+                     independent WhiteSignal path (velocity input reports
+                     zero for that step — odometry is blind to the jump);
+  phase B [t_k, T]:  landmark observations now reflect the new true
+                     position; the correction loop must pull the path
+                     integrator across the jump.
+
+The reference's gate semantics make this interesting
+(/root/reference/sspslam/networks/slam.py:233-237): corrections apply
+only when dot(memory estimate, PI state) > update_thres — only when the
+map already AGREES with the path integrator.  After a kidnap they
+maximally disagree, so the strict gate blocks its own rescue (and the
+gate cannot simply be left open: before the map is learned the recall is
+~0 and an ungated correction drags the PI toward zero — measured, see
+VALIDATION).  The resolution is a RECOVERY MODE: the gate thresholds are
+hoisted to traced params (SSPSLAM_HOIST_GATE), so the same compiled
+program runs strict through phase A, drops the threshold for a recovery
+window after the kidnap, then restores it — zero recompiles.  Three
+models run in one program: strict throughout (expected: never recovers),
+strict + recovery window (expected: relocalizes), PI-only control.
+
+Usage: python experiments/kidnapped_robot.py [--T 200] [--seed 0]
+Prints one JSON line with pre/post error, jump size and recovery time.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# gate scalars as traced params (must be set before the models import)
+os.environ.setdefault("SSPSLAM_HOIST_GATE", "1")
+
+sys.path.insert(1, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import sspslam_tpu
+from sspslam_tpu import HexagonalSSPSpace
+from sspslam_tpu.models import (PathIntegration, SLAMNetwork,
+                                get_slam_input_functions2)
+from sspslam_tpu.nef import (Connection, Network, Node, Probe, Simulator,
+                             WhiteSignal)
+from sspslam_tpu.utils.sampling import Rd_sampling
+
+from experiments.common import decode_output
+
+
+def make_phase(T, dt, limit, seed, radius):
+    n = int(T / dt)
+    path = np.hstack([
+        WhiteSignal(T, high=limit, seed=seed + i).run(T, dt=dt)
+        for i in range(2)])[:n]
+    for i in range(2):
+        lo, hi = path[:, i].min(), path[:, i].max()
+        path[:, i] = ((path[:, i] - lo) / max(hi - lo, 1e-12)
+                      * 1.8 * radius - 0.9 * radius)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--T", type=float, default=200.0)
+    ap.add_argument("--kidnap-frac", type=float, default=0.5,
+                    help="kidnap time as a fraction of T")
+    ap.add_argument("--recovery-window", type=float, default=25.0,
+                    help="seconds the adaptive model's gate stays open "
+                         "after the kidnap.  The correction pulls the VCO "
+                         "state with time constant ~1/shift_rate, so the "
+                         "window must cover several constants or the "
+                         "handback to the strict gate happens outside its "
+                         "agreement basin and drift resumes (measured: a "
+                         "10 s window at shift 0.2 relapses)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ssp-dim", type=int, default=97)
+    ap.add_argument("--n-landmarks", type=int, default=50)
+    ap.add_argument("--view-rad", type=float, default=0.2)
+    ap.add_argument("--pi-n-neurons", type=int, default=800)
+    ap.add_argument("--mem-n-neurons", type=int, default=970)
+    ap.add_argument("--circonv-n-neurons", type=int, default=100)
+    ap.add_argument("--limit", type=float, default=0.1)
+    ap.add_argument("--update-thres", type=float, default=0.4)
+    ap.add_argument("--shift-rate", type=float, default=0.1)
+    ap.add_argument("--recovery-shift-rate", type=float, default=0.3,
+                    help="shift rate while the recovery gate is open")
+    ap.add_argument("--voja-lr", type=float, default=1e-4)
+    ap.add_argument("--pes-lr", type=float, default=2e-2)
+    ap.add_argument("--intercept", type=float, default=0.3)
+    ap.add_argument("--min-jump", type=float, default=0.8,
+                    help="minimum teleport distance (phase-B seeds are "
+                         "scanned until the jump is at least this far)")
+    ap.add_argument("--recovered-below", type=float, default=None,
+                    help="recovery threshold on decoded distance error "
+                         "(default: the view radius)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    rec_thresh = (args.view_rad if args.recovered_below is None
+                  else args.recovered_below)
+
+    dt = 0.001
+    T = args.T
+    n_steps = int(T / dt)
+    k_step = int(args.kidnap_frac * n_steps)
+    rec_steps = min(int(args.recovery_window / dt), n_steps - k_step)
+    radius = 1.0
+
+    # two independent arena-filling paths; the concatenation point is the
+    # teleport (same recipe as validate_loop_closure.py per phase).  Scan
+    # phase-B seeds until the teleport is far (a nearby "kidnap" is just
+    # drift the strict gate can absorb; the probe is about GROSS error)
+    path_a = make_phase(args.kidnap_frac * T, dt, args.limit,
+                        args.seed, radius)[:k_step]
+    path_b, jump = None, -1.0
+    for i in range(64):
+        cand = make_phase(T - args.kidnap_frac * T, dt, args.limit,
+                          args.seed + 1000 + i, radius)[:n_steps - k_step]
+        j = float(np.linalg.norm(cand[0] - path_a[-1]))
+        if j > jump:
+            path_b, jump = cand, j
+        if j >= args.min_jump:
+            break
+    path = np.concatenate([path_a, path_b])
+
+    vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
+    vels[k_step] = 0.0   # odometry is blind to the teleport
+
+    bounds = 1.1 * radius * np.tile(np.array([-1, 1.0]), (2, 1))
+    space = HexagonalSSPSpace(2, ssp_dim=args.ssp_dim, seed=args.seed,
+                              length_scale=0.2, domain_bounds=bounds)
+    d = space.ssp_dim
+    obj_locs = 0.9 * radius * 2 * (
+        Rd_sampling(args.n_landmarks, 2, seed=args.seed) - 0.5)
+    vec_to_landmarks = obj_locs[None, :, :] - path[:, None, :]
+    lm_space = sspslam_tpu.SPSpace(args.n_landmarks, d, seed=args.seed)
+
+    (vel_f, scale, in_view_f, _, sp_f, _, vecssp_f) = \
+        get_slam_input_functions2(space, lm_space, vels, vec_to_landmarks,
+                                  args.view_rad)
+    init = space.encode(path[:1]).flatten()
+
+    def add_slam():
+        slam = SLAMNetwork(
+            space, lm_space, args.view_rad, args.n_landmarks,
+            args.pi_n_neurons, args.mem_n_neurons, args.circonv_n_neurons,
+            update_thres=args.update_thres, shift_rate=args.shift_rate,
+            voja_learning_rate=args.voja_lr,
+            pes_learning_rate=args.pes_lr, intercept=args.intercept,
+            vel_scaling_factor=scale, seed=args.seed)
+        Connection(vel, slam.velocity_input, synapse=None)
+        Connection(init_node, slam.pathintegrator.input, synapse=None)
+        Connection(lm_id, slam.landmark_id_input, synapse=None)
+        Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
+        Connection(in_view, slam.no_landmark_in_view, synapse=None)
+        return Probe(slam.pathintegrator.output, synapse=0.05)
+
+    with Network(seed=args.seed) as net:
+        vel = Node(vel_f)
+        init_node = Node(lambda t: init if t < 0.05 else np.zeros(d))
+        lm_id = Node(sp_f)
+        lm_ssp = Node(vecssp_f)
+        in_view = Node(in_view_f)
+        probes = {}
+        probes["strict"] = add_slam()     # hoisted key h0
+        probes["adaptive"] = add_slam()   # hoisted key h1
+        pi_only = PathIntegration(space, args.pi_n_neurons, 0.05,
+                                  scaling_factor=scale, stable=True)
+        Connection(vel, pi_only.velocity_input, synapse=None)
+        Connection(init_node, pi_only.input, synapse=None)
+        probes["pi_only"] = Probe(pi_only.output, synapse=0.05)
+
+    t0 = time.time()
+    sim = Simulator(net, seed=args.seed)
+    print(f"build: {time.time() - t0:.1f}s", flush=True)
+
+    # the two SLAM subnets hoist their gate scalars in build order
+    hoisted = sim.params["hoisted"]
+    gate_keys = [k for k, v in sorted(hoisted.items())
+                 if "update_thres" in v]
+    assert len(gate_keys) == 2, gate_keys
+    adaptive_key = gate_keys[1]
+    # learning rates are traced params keyed by built-connection index;
+    # each SLAM contributes one Voja + one PES slot, in build order, so
+    # the two highest-indexed slots belong to the adaptive model.  They
+    # are zeroed during the recovery window: while the self-estimate is
+    # known-wrong, PES would write WRONG landmark locations into the map
+    # (measured: without the freeze the adaptive model relocalizes in
+    # 0.5 s but its corrupted map degrades post-recovery tracking to
+    # 0.33 median vs 0.10 strict)
+    lr = sim.params["hyper"]["lr"]
+    lr_keys = sorted(lr, key=lambda k: int(k.split("_")[-1]))
+    assert len(lr_keys) == 4, lr_keys
+    adaptive_lr_keys = lr_keys[2:]
+    saved_lr = {k: lr[k] for k in adaptive_lr_keys}
+
+    sim.preload_inputs(n_steps)
+    t0 = time.time()
+    sim.compile(min(n_steps, 1000))
+    print(f"compile: {time.time() - t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    sim.run_steps(k_step)                      # phase A: both gates strict
+    # recovery mode: open the adaptive model's gate (always correct while
+    # a landmark is in view) and FREEZE its map learning — traced-param
+    # updates, no recompile
+    hoisted[adaptive_key]["update_thres"] = np.float32(-2.0)
+    hoisted[adaptive_key]["shift_rate"] = np.float32(
+        args.recovery_shift_rate)
+    for k in adaptive_lr_keys:
+        lr[k] = np.float32(0.0)
+    sim.run_steps(rec_steps)                   # recovery window
+    hoisted[adaptive_key]["update_thres"] = np.float32(args.update_thres)
+    hoisted[adaptive_key]["shift_rate"] = np.float32(args.shift_rate)
+    lr.update(saved_lr)
+    sim.run_steps(n_steps - k_step - rec_steps)   # phase B, strict again
+    sim.sync()
+    el = time.time() - t0
+    print(f"sim: {el:.2f}s ({n_steps / el:.0f} steps/s, three models in "
+          "one program)", flush=True)
+
+    # decode on a subsampled grid
+    skip = max(1, n_steps // 2000)
+    idx = np.arange(0, n_steps, skip)
+    path_s = path[idx]
+    k_s = int(np.searchsorted(idx, k_step))
+    result = {"jump": round(jump, 3), "T": T, "kidnap_t": k_step * dt,
+              "recovery_window": rec_steps * dt, "ssp_dim": d,
+              "n_landmarks": args.n_landmarks, "seed": args.seed,
+              "update_thres": args.update_thres,
+              "recovered_below": rec_thresh}
+    print(f"\nteleport distance: {jump:.3f}  (recovery threshold "
+          f"{rec_thresh})")
+    print(f"{'model':12s} {'pre-err':>8s} {'post-err':>9s} "
+          f"{'recovery-s':>11s}")
+    for label, probe in probes.items():
+        out = np.asarray(sim.data[probe])[idx]
+        est = decode_output(space, out, 2, grid=100)
+        err = np.sqrt(np.sum((path_s - est) ** 2, axis=1))
+        pre = float(np.median(err[k_s // 2:k_s]))
+        post = float(np.median(err[k_s + (len(err) - k_s) // 2:]))
+        # first settled recovery: error below threshold and stays below
+        # for >= 3 s of simulated time (the decoded argmax can snap to the
+        # new position seconds before the VCO state actually converges)
+        rec = None
+        hold = max(1, int(3.0 / (dt * skip)))
+        below = err[k_s:] < rec_thresh
+        for i in range(len(below) - hold):
+            if below[i:i + hold].all():
+                rec = float(idx[k_s + i] * dt - k_step * dt)
+                break
+        result[label] = {"pre_err": round(pre, 4),
+                         "post_err": round(post, 4),
+                         "recovery_s": None if rec is None else round(rec, 2)}
+        rs = "never" if rec is None else f"{rec:.1f}"
+        print(f"{label:12s} {pre:8.3f} {post:9.3f} {rs:>11s}")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,6 +170,27 @@ class TestValidateLoopClosureSmoke:
         assert np.isfinite(line["slam_final"])
 
 
+class TestKidnappedRobotSmoke:
+    def test_tiny_cpu(self):
+        """Relocalization probe runs end-to-end: two-phase world with a
+        real teleport, mid-run traced-param gate/learning-rate flips, and
+        per-model recovery metrics.  Tracking quality is meaningless at
+        toy scale (see VALIDATION for the reference-scale result); this
+        asserts the mechanics."""
+        import json
+        out = run_script("kidnapped_robot.py", [
+            "--cpu", "--T", "20", "--limit", "0.4", "--ssp-dim", "31",
+            "--n-landmarks", "8", "--pi-n-neurons", "80",
+            "--mem-n-neurons", "120", "--circonv-n-neurons", "30",
+            "--view-rad", "0.4", "--recovery-window", "4",
+            "--min-jump", "0.5"], timeout=900)
+        line = json.loads(out.strip().splitlines()[-1])
+        assert line["jump"] >= 0.3
+        for model in ("strict", "adaptive", "pi_only"):
+            assert "post_err" in line[model] and "recovery_s" in line[model]
+            assert np.isfinite(line[model]["pre_err"])
+
+
 class TestTpScalingSmoke:
     def test_virtual_mesh_tiny(self, tmp_path):
         """tp_scaling (the MULTICHIP.md evidence generator) runs on the
