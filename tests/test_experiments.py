@@ -207,6 +207,24 @@ class TestKidnappedRobotSmoke:
                 "recovery_exit_s"} <= set(auto)
 
 
+class TestMapMergeSmoke:
+    def test_tiny_cpu(self):
+        """Two-agent map merge runs end-to-end: identical draws across
+        three programs, carry extraction, decoder/encoder delta merge,
+        state injection into a learning-frozen localization run."""
+        import json
+        out = run_script("map_merge.py", [
+            "--cpu", "--T-explore", "6", "--T-test", "5",
+            "--limit", "0.5", "--ssp-dim", "31", "--n-landmarks", "8",
+            "--pi-n-neurons", "80", "--mem-n-neurons", "120",
+            "--circonv-n-neurons", "30", "--view-rad", "0.4"],
+            timeout=900)
+        line = json.loads(out.strip().splitlines()[-1])
+        for cond in ("merged", "agent_A_only", "agent_B_only", "empty"):
+            assert np.isfinite(line[cond]["median"])
+            assert "left_p90" in line[cond]
+
+
 class TestTpScalingSmoke:
     def test_virtual_mesh_tiny(self, tmp_path):
         """tp_scaling (the MULTICHIP.md evidence generator) runs on the
