@@ -99,6 +99,12 @@ def main():
                     help="autonomous tracking-loss detection: no knowledge "
                          "of the kidnap time; a tick monitor of "
                          "cos(map estimate, PI) enters/exits recovery mode")
+    ap.add_argument("--in-model", action="store_true",
+                    help="run the detection INSIDE the compiled step: the "
+                         "adaptive model uses gate_mode='auto_recovery' (a "
+                         "stateful node carrying the armed/EMA/timer "
+                         "controller) and the whole run is one straight "
+                         "simulation with zero host decisions")
     ap.add_argument("--tick-s", type=float, default=0.5,
                     help="monitor tick length (seconds) in --auto mode")
     ap.add_argument("--auto-trigger", type=float, default=0.2,
@@ -113,6 +119,11 @@ def main():
                          "modes")
     ap.add_argument("--auto-debug", action="store_true",
                     help="print per-tick monitor stats")
+    ap.add_argument("--auto-ema-tau", type=float, default=0.5,
+                    help="agreement-EMA time constant (seconds). The "
+                         "in-model controller smooths at dt granularity, "
+                         "which needs a longer tau than the host tick "
+                         "monitor to match its effective smoothing")
     ap.add_argument("--auto-familiar", type=float, default=0.3,
                     help="minimum mean recall magnitude for a tick to "
                          "count as evidence (unfamiliar landmarks give a "
@@ -179,20 +190,31 @@ def main():
                                   args.view_rad)
     init = space.encode(path[:1]).flatten()
 
-    def add_slam():
+    def add_slam(gate_mode="reference"):
+        gk = None
+        if gate_mode == "auto_recovery":
+            gk = {"recovery_shift_rate": args.recovery_shift_rate,
+                  "trigger": args.auto_trigger,
+                  "exit_thres": args.auto_exit,
+                  "familiar": args.auto_familiar,
+                  "ema_tau": args.auto_ema_tau,
+                  "recovery_T": args.recovery_window}
         slam = SLAMNetwork(
             space, lm_space, args.view_rad, args.n_landmarks,
             args.pi_n_neurons, args.mem_n_neurons, args.circonv_n_neurons,
             update_thres=args.update_thres, shift_rate=args.shift_rate,
             voja_learning_rate=args.voja_lr,
             pes_learning_rate=args.pes_lr, intercept=args.intercept,
-            vel_scaling_factor=scale, seed=args.seed)
+            vel_scaling_factor=scale, seed=args.seed,
+            gate_mode=gate_mode, gate_kwargs=gk)
         Connection(vel, slam.velocity_input, synapse=None)
         Connection(init_node, slam.pathintegrator.input, synapse=None)
         Connection(lm_id, slam.landmark_id_input, synapse=None)
         Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
         Connection(in_view, slam.no_landmark_in_view, synapse=None)
         return slam, Probe(slam.pathintegrator.output, synapse=0.05)
+
+    adaptive_mode = "auto_recovery" if args.in_model else "reference"
 
     with Network(seed=args.seed) as net:
         vel = Node(vel_f)
@@ -202,7 +224,7 @@ def main():
         in_view = Node(in_view_f)
         probes = {}
         _, probes["strict"] = add_slam()            # hoisted key h0
-        adaptive, probes["adaptive"] = add_slam()   # hoisted key h1
+        adaptive, probes["adaptive"] = add_slam(adaptive_mode)  # key h1
         # monitor signals for autonomous loss detection: the map's own
         # position estimate next to the PI output, plus the raw memory
         # recall whose magnitude is the FAMILIARITY of the current
@@ -210,6 +232,11 @@ def main():
         # noise and its disagreement is not evidence of tracking loss)
         est_probe = Probe(adaptive.position_estimate.output, synapse=0.05)
         recall_probe = Probe(adaptive.assomemory.recall, synapse=0.05)
+        if args.in_model:
+            # the controller's suppress channel records its own
+            # enter/exit decisions; 50 ms sampling is plenty
+            gate_probe = Probe(adaptive.update_state, synapse=None,
+                               sample_every=0.05)
         pi_only = PathIntegration(space, args.pi_n_neurons, 0.05,
                                   scaling_factor=scale, stable=True)
         Connection(vel, pi_only.velocity_input, synapse=None)
@@ -263,7 +290,11 @@ def main():
 
     auto_stats = None
     t0 = time.time()
-    if not args.auto:
+    if args.in_model:
+        # the controller lives in the carry: one straight simulation,
+        # zero host decisions
+        sim.run_steps(n_steps)
+    elif not args.auto:
         # scripted schedule: the experimenter knows the kidnap time
         sim.run_steps(k_step)                   # phase A: both gates strict
         enter_recovery()
@@ -365,6 +396,27 @@ def main():
     el = time.time() - t0
     print(f"sim: {el:.2f}s ({n_steps / el:.0f} steps/s, three models in "
           "one program)", flush=True)
+
+    if args.in_model:
+        # reconstruct the controller's decisions from its own suppress
+        # channel (last output element, sampled every 50 ms)
+        g = np.asarray(sim.data[gate_probe])
+        sup = g[:, -1] > 5.0
+        t_g = 0.05 * (1 + np.arange(len(sup)))
+        edges = np.flatnonzero(np.diff(sup.astype(np.int8)) == 1) + 1
+        enters = [float(t_g[i]) for i in edges]
+        kidnap_t = k_step * dt
+        detect = next((t for t in enters if t >= kidnap_t), None)
+        auto_stats = {
+            "mode": "in_model",
+            "false_triggers": sum(1 for t in enters if t < kidnap_t),
+            "detect_s": None if detect is None
+            else round(detect - kidnap_t, 2),
+            "recovery_frac_post": round(float(
+                sup[t_g >= kidnap_t].mean()), 3) if len(sup) else None,
+        }
+        print(f"  [in-model] enters={['%.1f' % t for t in enters]}",
+              flush=True)
 
     # decode on a subsampled grid
     skip = max(1, n_steps // 2000)

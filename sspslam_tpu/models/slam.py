@@ -203,6 +203,107 @@ def make_update_state_func(update_thres, shift_rate, d):
     return update_state_func
 
 
+def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
+                                 recovery_shift_rate=0.3, trigger=0.2,
+                                 exit_thres=0.6, familiar=0.25,
+                                 ema_tau=0.5, recovery_T=25.0):
+    """Self-healing correction gate (no reference counterpart).
+
+    Extends the reference gate (slam.py:233-237) with an IN-MODEL
+    tracking-loss controller, runnable entirely inside the compiled step
+    via a stateful node (state = [armed, agreement_ema, recovery_timer]):
+
+    * arm once the smoothed agreement cos(estimate, PI) first exceeds
+      ``exit_thres`` (before the map is learned, low agreement is normal);
+    * a tick is EVIDENCE only while a landmark is in view AND the memory
+      recognises it (recall magnitude >= ``familiar``) — unlearned
+      landmarks give a noise estimate, not a loss signal;
+    * on sustained low agreement (EMA < ``trigger``) enter recovery for
+      ``recovery_T`` seconds: corrections always applied at
+      ``recovery_shift_rate``, and map learning suppressed through the
+      extra output channel wired into ``AssociativeMemory.learning``
+      (a wrong self-estimate would otherwise rewrite the map);
+    * the timer re-triggers immediately if agreement is still low at
+      expiry, so recovery effectively holds until tracking restores.
+
+    These rules and constants come from the measured kidnapped-robot
+    study (VALIDATION.md).  Inputs: ``x = [pos_est(d), pi_est(d),
+    recall(d), no_view(1)]``; outputs ``[correction(d), suppress(1)]``.
+    All thresholds/rates are hoisted traced params.
+    """
+    alpha = float(dt / ema_tau)
+    R = float(recovery_T / dt)
+
+    def gate(t, x, s, consts):
+        thr = consts["update_thres"]
+        sr = consts["shift_rate"]
+        rsr = consts["recovery_shift_rate"]
+        trig = consts["trigger"]
+        exitt = consts["exit_thres"]
+        fam_floor = consts["familiar"]
+        pos_est, pi_est = x[:d], x[d:2 * d]
+        recall, no_view = x[2 * d:3 * d], x[-1]
+        in_view = jnp.abs(no_view) < 1e-3
+        dot = jnp.sum(pos_est * pi_est)
+        agree = dot / (jnp.linalg.norm(pos_est)
+                       * jnp.linalg.norm(pi_est) + 1e-9)
+        conclusive = in_view & (jnp.linalg.norm(recall) >= fam_floor)
+        ema = jnp.where(conclusive, (1 - alpha) * s[1] + alpha * agree,
+                        s[1])
+        armed = jnp.maximum(s[0], (ema >= exitt).astype(jnp.float32))
+        timer = jnp.maximum(s[2] - 1.0, 0.0)
+        trigger_now = (armed > 0) & (ema < trig) & (timer <= 0) & conclusive
+        timer = jnp.where(trigger_now, R, timer)
+        in_rec = timer > 0
+        gate_ok = in_view & ((dot > thr) | in_rec)
+        corr = jnp.where(gate_ok,
+                         jnp.where(in_rec, rsr, sr) * (pos_est - pi_est),
+                         jnp.zeros(d, jnp.float32))
+        suppress = jnp.where(in_rec, 10.0, 0.0)
+        out = jnp.concatenate([corr, suppress[None]])
+        return out, jnp.stack([armed, ema, timer])
+
+    gate.state_init = np.zeros(3, np.float32)
+    gate.hoisted_consts = {
+        "update_thres": np.float32(update_thres),
+        "shift_rate": np.float32(shift_rate),
+        "recovery_shift_rate": np.float32(recovery_shift_rate),
+        "trigger": np.float32(trigger),
+        "exit_thres": np.float32(exit_thres),
+        "familiar": np.float32(familiar),
+    }
+
+    def _gate_np(t, x, s, consts):
+        thr, sr = float(consts["update_thres"]), float(consts["shift_rate"])
+        rsr = float(consts["recovery_shift_rate"])
+        trig = float(consts["trigger"])
+        exitt = float(consts["exit_thres"])
+        fam_floor = float(consts["familiar"])
+        pos_est, pi_est = x[:d], x[d:2 * d]
+        recall, no_view = x[2 * d:3 * d], x[-1]
+        in_view = abs(float(no_view)) < 1e-3
+        dot = float(pos_est @ pi_est)
+        agree = dot / (np.linalg.norm(pos_est)
+                       * np.linalg.norm(pi_est) + 1e-9)
+        conclusive = in_view and np.linalg.norm(recall) >= fam_floor
+        armed, ema, timer = float(s[0]), float(s[1]), float(s[2])
+        if conclusive:
+            ema = (1 - alpha) * ema + alpha * agree
+        armed = max(armed, float(ema >= exitt))
+        timer = max(timer - 1.0, 0.0)
+        if armed > 0 and ema < trig and timer <= 0 and conclusive:
+            timer = R
+        in_rec = timer > 0
+        out = np.zeros(d + 1, np.float32)
+        if in_view and (dot > thr or in_rec):
+            out[:d] = (rsr if in_rec else sr) * (pos_est - pi_est)
+        out[d] = 10.0 if in_rec else 0.0
+        return out, np.array([armed, ema, timer], np.float32)
+
+    gate.np_function = _gate_np
+    return gate
+
+
 def _wrap_cleanup_node(clean_up_fun):
     """Wrap a cleanup callable into a ``(t, x)`` node function, carrying
     through its ``hoisted_consts`` (traced-bank variant) and
@@ -243,7 +344,8 @@ class SLAMNetwork(Network):
                  voja_learning_rate=5e-4, pes_learning_rate=1e-2,
                  clean_up_method="grid", gc_n_neurons=0, encoders=None,
                  voja=True, seed=0, landmark_sps=None, intercept=None,
-                 cleanup_samples_per_dim=100, label="slam"):
+                 cleanup_samples_per_dim=100, gate_mode="reference",
+                 gate_kwargs=None, label="slam"):
         super().__init__(label=label, seed=seed)
 
         domain_dim = ssp_space.domain_dim
@@ -273,8 +375,15 @@ class SLAMNetwork(Network):
             self.sample_points = sample_points
         self.clean_up_fun = clean_up_fun
 
-        update_state_func = make_update_state_func(update_thres, shift_rate,
-                                                   d)
+        if gate_mode == "auto_recovery":
+            update_state_func = make_auto_recovery_gate_func(
+                update_thres, shift_rate, d, **(gate_kwargs or {}))
+            gate_in, gate_out = 3 * d + 1, d + 1
+        else:
+            assert gate_mode == "reference", gate_mode
+            update_state_func = make_update_state_func(
+                update_thres, shift_rate, d)
+            gate_in, gate_out = 2 * d + 1, d
 
         mk_unitary = _np_make_unitary
 
@@ -284,8 +393,8 @@ class SLAMNetwork(Network):
             self.landmark_vec_ssp = Node(size_in=d, label="lm_vecssp_input")
             self.no_landmark_in_view = Node(size_in=1, label="lm_in_view_input")
 
-            self.update_state = Node(update_state_func, size_in=2 * d + 1,
-                                     size_out=d)
+            self.update_state = Node(update_state_func, size_in=gate_in,
+                                     size_out=gate_out)
             Connection(self.no_landmark_in_view, self.update_state[-1],
                        synapse=None)
 
@@ -298,8 +407,10 @@ class SLAMNetwork(Network):
             self.output = self.pathintegrator.output
             Connection(self.velocity_input, self.pathintegrator.velocity_input,
                        synapse=None)
-            Connection(self.update_state, self.pathintegrator.input,
-                       synapse=None)
+            corr_src = (self.update_state[:d]
+                        if gate_mode == "auto_recovery" else
+                        self.update_state)
+            Connection(corr_src, self.pathintegrator.input, synapse=None)
 
             # object vector cells
             self.ovc_ens = Ensemble(ovc_n_neurons, d, encoders=OVC_encoders,
@@ -365,6 +476,17 @@ class SLAMNetwork(Network):
                        synapse=tau)
             Connection(self.pathintegrator.output,
                        self.update_state[d:2 * d], synapse=tau)
+            if gate_mode == "auto_recovery":
+                # the controller's extra inputs/outputs: raw recall
+                # magnitude is the landmark-familiarity evidence, and the
+                # suppress channel freezes map learning during recovery
+                # (both PES via the inhibited error population and Voja
+                # via its gated rule — the same path the in-view signal
+                # uses)
+                Connection(self.assomemory.recall,
+                           self.update_state[2 * d:3 * d], synapse=tau)
+                Connection(self.update_state[d],
+                           self.assomemory.learning, synapse=None)
 
 
 def _vel_scale(max_abs_freq) -> float:

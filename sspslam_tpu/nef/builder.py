@@ -176,6 +176,12 @@ class Model:
         self.filter_cascade: Dict[int, int] = {}
         self.topo_units: List[Tuple[str, Any]] = []
         self.learned_init: Dict[str, np.ndarray] = {}
+        # stateful jnp nodes: slot -> initial state array.  A node function
+        # with a ``state_init`` attribute has signature
+        # ``f(t, x, state, consts=None) -> (out, new_state)`` and its state
+        # becomes a carry leaf (state["nodes"][slot]) — in-step latches,
+        # timers and controllers without host round trips
+        self.node_state_init: Dict[str, np.ndarray] = {}
         # params-pytree contributions hoisted out of jnp-node closures
         # (e.g. the clean-up sample bank) — traced, not baked as constants
         self.hoisted: Dict[str, dict] = {}
@@ -199,6 +205,8 @@ class Model:
             "neurons": neurons,
             "filters": filters,
             "learned": learned,
+            "nodes": {k: np.asarray(v, np.float32)
+                      for k, v in self.node_state_init.items()},
         }
 
 
@@ -482,23 +490,37 @@ def build(network: Network, dt: float = 0.001, seed: Optional[int] = None,
                 # without dispatching jnp eager ops to the default
                 # accelerator — critical for a fair host-only baseline
                 info["np_func"] = getattr(node.output, "np_function", None)
+                si = getattr(node.output, "state_init", None)
+                if si is not None:
+                    key = f"ns{len(model.node_state_init)}"
+                    info["state_slot"] = key
+                    model.node_state_init[key] = np.asarray(si, np.float32)
             else:
                 info["kind"] = "tabulated"
             if node.size_out is None:
                 if info["kind"] == "tabulated":
                     out = np.asarray(node.output(dt))
                 else:
+                    def _probe_call():
+                        slot = info.get("state_slot")
+                        hk = info.get("hoisted_key")
+                        kw = ({"consts": model.hoisted[hk]}
+                              if hk is not None else {})
+                        if slot is not None:
+                            o, _ns = node.output(
+                                dt, np.zeros(node.size_in),
+                                model.node_state_init[slot], **kw)
+                            return o
+                        return node.output(dt, np.zeros(node.size_in), **kw)
                     # jnp functions: evaluate on the host backend so a remote
                     # accelerator isn't hit with an eager compile just to
                     # learn the output size
                     try:
                         cpu = jax.devices("cpu")[0]
                         with jax.default_device(cpu):
-                            out = np.asarray(
-                                node.output(dt, np.zeros(node.size_in)))
+                            out = np.asarray(_probe_call())
                     except RuntimeError:
-                        out = np.asarray(
-                            node.output(dt, np.zeros(node.size_in)))
+                        out = np.asarray(_probe_call())
                 node.size_out = int(out.size)
         else:
             info["kind"] = "const"

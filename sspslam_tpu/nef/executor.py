@@ -243,6 +243,8 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
         t = (step_no.astype(dtype) + 1.0) * dt
         filters = state["filters"]
         learned = state["learned"]
+        node_states = state.get("nodes", {})
+        new_node_states = dict(node_states)
         sig_node: Dict[int, jax.Array] = {}
         sig_act: Dict[int, jax.Array] = {}
         new_neurons = list(state["neurons"])
@@ -397,7 +399,14 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
                 elif nk == "jnp_func":
                     x = gather_node_input(obj)
                     hk = info.get("hoisted_key")
-                    if hk is not None:
+                    slot = info.get("state_slot")
+                    if slot is not None:
+                        # stateful node: f(t, x, s, consts=None)->(out, s')
+                        kw = ({"consts": params["hoisted"][hk]}
+                              if hk is not None else {})
+                        out, ns = obj.output(t, x, node_states[slot], **kw)
+                        new_node_states[slot] = jnp.asarray(ns, jnp.float32)
+                    elif hk is not None:
                         out = obj.output(t, x,
                                          consts=params["hoisted"][hk])
                     elif obj.size_in > 0:
@@ -541,6 +550,7 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
             "neurons": new_neurons,
             "filters": new_filters,
             "learned": new_learned,
+            "nodes": new_node_states,
         }
         return new_state, emits
 

@@ -126,6 +126,8 @@ class NumpyStepper:
             "filters": [np.zeros(s, np.float32) for s, _a, _b in m.filter_specs],
             "learned": {k: np.array(v, np.float32)
                         for k, v in m.learned_init.items()},
+            "nodes": {k: np.array(v, np.float32)
+                      for k, v in m.node_state_init.items()},
         }
 
     def sparse_probe(self, bp):
@@ -250,7 +252,16 @@ class NumpyStepper:
                     if nk == "jnp_func":
                         np_f = info.get("np_func")
                         hk = info.get("hoisted_key")
-                        if np_f is not None:
+                        slot = info.get("state_slot")
+                        if slot is not None:
+                            # stateful node: (t, x, s, consts=None) ->
+                            # (out, s'); prefer the NumPy mirror
+                            f = np_f if np_f is not None else obj.output
+                            kw = ({"consts": self.hoisted[hk]}
+                                  if hk is not None else {})
+                            out, ns = f(t, x, st["nodes"][slot], **kw)
+                            st["nodes"][slot] = np.asarray(ns, np.float32)
+                        elif np_f is not None:
                             # pure-NumPy mirror: stays on the host even
                             # when the jax default backend is a remote
                             # accelerator (jnp eager dispatch over a

@@ -103,6 +103,9 @@ def state_shardings(model: Model, mesh: Mesh, axis: str = "model"):
         "neurons": neurons,
         "filters": filters,
         "learned": learned,
+        # stateful-node scratch (latches/timers): tiny, replicate
+        "nodes": {k: replicated(mesh)
+                  for k in model.node_state_init},
     }
 
 

@@ -48,6 +48,37 @@ def cross_check(net, T=0.2, seed=0, atol=1e-3, spike_flip_tolerant=False):
 
 
 class TestBackendCrossCheck:
+    def test_stateful_latch_node(self):
+        """Stateful jnp node (state_init attribute): the node's state is a
+        carry leaf; jit scan and the host interpreter agree on a running-
+        max latch."""
+        import jax.numpy as jnp
+
+        def latch(t, x, s, consts=None):
+            ns = jnp.maximum(s, x)
+            return ns, ns
+        latch.state_init = np.zeros(2, np.float32)
+
+        def latch_np(t, x, s, consts=None):
+            ns = np.maximum(s, x)
+            return ns, ns
+        latch.np_function = latch_np
+
+        with Network(seed=0) as net:
+            inp = Node(lambda t: np.array([np.sin(7 * t), np.cos(5 * t)]))
+            n = Node(latch, size_in=2, size_out=2)
+            Connection(inp, n, synapse=None)
+            out = Node(size_in=2)
+            Connection(n, out, synapse=0.02)
+            Probe(out, synapse=None)
+        cross_check(net, T=0.25, seed=0, atol=1e-5)
+        # and the latch actually latched: final probe row equals the
+        # running max, which is nondecreasing
+        sim = Simulator(net, seed=0)
+        sim.run_steps(250)
+        v = np.asarray(sim.state["nodes"]["ns0"])
+        assert v.shape == (2,) and (v > 0.9).all()
+
     def test_channel_with_learning(self):
         val = np.array([0.5, -0.2])
         with Network(seed=0) as net:
@@ -215,6 +246,54 @@ class TestFullSLAMCrossCheck:
             Probe(slam.pathintegrator.output, synapse=0.02)
             Probe(slam.assomemory.recall, synapse=0.02)
         cross_check(net, T=T, seed=seed, atol=1e-3, spike_flip_tolerant=True)
+
+    def test_slam_auto_recovery_gate(self, monkeypatch):
+        """gate_mode='auto_recovery': the stateful in-model controller
+        (latch + EMA + timer, hoisted thresholds) agrees between the jit
+        scan and the host interpreter, including its node-state leaf."""
+        monkeypatch.setenv("SSPSLAM_CLEANUP_F32", "1")
+        from sspslam_tpu import SPSpace
+        from sspslam_tpu.models import SLAMNetwork, get_slam_input_functions
+        T, dt, seed = 0.15, 0.001, 0
+        bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
+        space = HexagonalSSPSpace(2, ssp_dim=31, seed=seed, length_scale=0.3,
+                                  domain_bounds=bounds)
+        d = space.ssp_dim
+        ts = dt * np.arange(int(T / dt))
+        path = 0.25 * np.stack([np.sin(2 * np.pi * ts / T),
+                                np.cos(2 * np.pi * ts / T) - 1.0], axis=1)
+        vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
+        rng = np.random.default_rng(seed)
+        landmarks = rng.uniform(-0.3, 0.3, size=(2, 2))
+        vec_to_lm = landmarks[None, :, :] - path[:, None, :]
+        lm_space = SPSpace(2, d, seed=seed)
+        (velocity_func, scale, in_view_f, _, sp_f, _, vecssp_f) = \
+            get_slam_input_functions(space, lm_space, vels, vec_to_lm, 2.0)
+        with Network(seed=seed) as net:
+            vel = Node(velocity_func)
+            lm_id = Node(sp_f)
+            lm_ssp = Node(vecssp_f)
+            in_view = Node(in_view_f)
+            slam = SLAMNetwork(space, lm_space, 2.0, 2,
+                               pi_n_neurons=60, mem_n_neurons=80,
+                               circonv_n_neurons=30,
+                               vel_scaling_factor=scale,
+                               cleanup_samples_per_dim=10, seed=seed,
+                               gate_mode="auto_recovery",
+                               gate_kwargs={"familiar": 0.05,
+                                            "exit_thres": 0.3})
+            Connection(vel, slam.velocity_input, synapse=None)
+            Connection(lm_id, slam.landmark_id_input, synapse=None)
+            Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
+            Connection(in_view, slam.no_landmark_in_view, synapse=None)
+            Probe(slam.pathintegrator.output, synapse=0.02)
+            Probe(slam.update_state, synapse=None)
+        cross_check(net, T=T, seed=seed, atol=1e-3, spike_flip_tolerant=True)
+        sim = Simulator(net, seed=seed)
+        sim.run_steps(int(T / dt))
+        (slot,) = sim.state["nodes"]
+        armed, ema, timer = np.asarray(sim.state["nodes"][slot])
+        assert timer >= 0 and np.isfinite(ema)
 
     def test_np_mirrors_registered(self):
         """The SLAM model's jnp node functions all carry host mirrors."""

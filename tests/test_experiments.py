@@ -190,6 +190,21 @@ class TestKidnappedRobotSmoke:
             assert "post_err" in line[model] and "recovery_s" in line[model]
             assert np.isfinite(line[model]["pre_err"])
 
+    def test_in_model_cpu(self):
+        """--in-model: the recovery controller is a stateful node in the
+        carry; one straight simulation, no host decisions; the suppress
+        channel reconstructs its decisions."""
+        import json
+        out = run_script("kidnapped_robot.py", [
+            "--cpu", "--in-model", "--T", "12", "--limit", "0.5",
+            "--ssp-dim", "31", "--n-landmarks", "8",
+            "--pi-n-neurons", "80", "--mem-n-neurons", "120",
+            "--circonv-n-neurons", "30", "--view-rad", "0.4",
+            "--min-jump", "0.4"], timeout=900)
+        line = json.loads(out.strip().splitlines()[-1])
+        assert line["auto"]["mode"] == "in_model"
+        assert "recovery_frac_post" in line["auto"]
+
     def test_auto_monitor_cpu(self):
         """--auto mode: the tick monitor runs (at toy scale tracking never
         establishes, so the correct behavior is an armed=False monitor
