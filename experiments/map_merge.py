@@ -87,6 +87,14 @@ def main():
     ap.add_argument("--voja-lr", type=float, default=1e-4)
     ap.add_argument("--pes-lr", type=float, default=2e-2)
     ap.add_argument("--intercept", type=float, default=0.3)
+    ap.add_argument("--eval-gate", choices=("reference", "auto_recovery"),
+                    default="reference",
+                    help="gate mode of the localization-mode agent. "
+                         "'auto_recovery' starts ARMED (arm_at_start: the "
+                         "map is injected and trusted), so a map whose "
+                         "coverage the agent first reaches only after "
+                         "drifting re-engages via recovery instead of "
+                         "locking out")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests)")
     args = ap.parse_args()
@@ -131,7 +139,7 @@ def main():
     for v in all_vels:
         v[-1] = vmax_row
 
-    def build_program(path, vels):
+    def build_program(path, vels, gate_mode="reference"):
         vec_to_lm = obj_locs[None, :, :] - path[:, None, :]
         (vel_f, scale, in_view_f, _, sp_f, _, vecssp_f) = \
             get_slam_input_functions2(space, lm_space, vels, vec_to_lm,
@@ -150,7 +158,10 @@ def main():
                 shift_rate=args.shift_rate,
                 voja_learning_rate=args.voja_lr,
                 pes_learning_rate=args.pes_lr, intercept=args.intercept,
-                vel_scaling_factor=scale, seed=args.seed)
+                vel_scaling_factor=scale, seed=args.seed,
+                gate_mode=gate_mode,
+                gate_kwargs=({"arm_at_start": True}
+                             if gate_mode == "auto_recovery" else None))
             Connection(vel, slam.velocity_input, synapse=None)
             Connection(init_node, slam.pathintegrator.input, synapse=None)
             Connection(lm_id, slam.landmark_id_input, synapse=None)
@@ -191,10 +202,21 @@ def main():
     }
 
     # localization mode: learning frozen, map injected into the carry
-    eval_sim, eval_probe, _ = build_program(path_T, all_vels[2])
+    eval_sim, eval_probe, _ = build_program(path_T, all_vels[2],
+                                            gate_mode=args.eval_gate)
     for k in eval_sim.params["hyper"]["lr"]:
         eval_sim.params["hyper"]["lr"][k] = np.float32(0.0)
-    assert set(eval_sim.model.learned_init) == set(init_ref)
+    # learned slots are keyed by built-connection index, which shifts when
+    # the eval gate adds connections; each model has exactly one Voja and
+    # one PES slot, so remap by rule prefix
+    def by_prefix(keys):
+        return {k.split("_")[0]: k for k in keys}
+    src_of = by_prefix(init_ref)
+    dst_of = by_prefix(eval_sim.model.learned_init)
+    assert set(src_of) == set(dst_of) == {"voja", "pes"}
+
+    def remap(learned):
+        return {dst_of[p]: learned[src_of[p]] for p in src_of}
 
     left = path_T[:, 0] < 0
     result = {"T_explore": args.T_explore, "T_test": args.T_test,
@@ -206,7 +228,7 @@ def main():
         eval_sim.reset()
         st = eval_sim.model.initial_state()
         st["learned"] = {k: np.asarray(v, np.float32)
-                         for k, v in learned.items()}
+                         for k, v in remap(learned).items()}
         eval_sim.state = st
         eval_sim.preload_inputs(n_test)
         eval_sim.run_steps(n_test)

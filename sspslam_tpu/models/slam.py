@@ -206,7 +206,8 @@ def make_update_state_func(update_thres, shift_rate, d):
 def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
                                  recovery_shift_rate=0.3, trigger=0.2,
                                  exit_thres=0.6, familiar=0.25,
-                                 ema_tau=0.5, recovery_T=25.0):
+                                 ema_tau=0.5, recovery_T=25.0,
+                                 arm_at_start=False):
     """Self-healing correction gate (no reference counterpart).
 
     Extends the reference gate (slam.py:233-237) with an IN-MODEL
@@ -263,7 +264,12 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         out = jnp.concatenate([corr, suppress[None]])
         return out, jnp.stack([armed, ema, timer])
 
-    gate.state_init = np.zeros(3, np.float32)
+    # trusted-map / localization mode: a pre-learned map was injected and
+    # the agent may start outside its coverage, so waiting for tracking to
+    # be established first (the arming latch) would lock the gate out —
+    # start armed instead
+    gate.state_init = np.array(
+        [1.0 if arm_at_start else 0.0, 0.0, 0.0], np.float32)
     gate.hoisted_consts = {
         "update_thres": np.float32(update_thres),
         "shift_rate": np.float32(shift_rate),

@@ -232,7 +232,8 @@ class TestMapMergeSmoke:
             "--cpu", "--T-explore", "6", "--T-test", "5",
             "--limit", "0.5", "--ssp-dim", "31", "--n-landmarks", "8",
             "--pi-n-neurons", "80", "--mem-n-neurons", "120",
-            "--circonv-n-neurons", "30", "--view-rad", "0.4"],
+            "--circonv-n-neurons", "30", "--view-rad", "0.4",
+            "--eval-gate", "auto_recovery"],
             timeout=900)
         line = json.loads(out.strip().splitlines()[-1])
         for cond in ("merged", "agent_A_only", "agent_B_only", "empty"):
