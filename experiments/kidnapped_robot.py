@@ -148,6 +148,12 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     rec_thresh = (args.view_rad if args.recovered_below is None
                   else args.recovered_below)
+    if (args.auto or args.in_model) and args.pes_lr >= 1e-2:
+        print(f"WARNING: pes_lr={args.pes_lr:g} re-learns the map to match "
+              "the wrong path integrator within ~1 s of a kidnap, erasing "
+              "the agreement dip the loss detector watches (measured, see "
+              "VALIDATION.md). Use --pes-lr 5e-3 (the reference default) "
+              "for a detectable regime.", file=sys.stderr, flush=True)
 
     dt = 0.001
     T = args.T
