@@ -87,6 +87,9 @@ def main():
     ap.add_argument("--voja-lr", type=float, default=1e-4)
     ap.add_argument("--pes-lr", type=float, default=2e-2)
     ap.add_argument("--intercept", type=float, default=0.3)
+    ap.add_argument("--recovery-shift-rate", type=float, default=0.3,
+                    help="recovery-mode shift rate for --eval-gate "
+                         "auto_recovery")
     ap.add_argument("--eval-gate", choices=("reference", "auto_recovery"),
                     default="reference",
                     help="gate mode of the localization-mode agent. "
@@ -160,7 +163,9 @@ def main():
                 pes_learning_rate=args.pes_lr, intercept=args.intercept,
                 vel_scaling_factor=scale, seed=args.seed,
                 gate_mode=gate_mode,
-                gate_kwargs=({"arm_at_start": True}
+                gate_kwargs=({"arm_at_start": True,
+                              "recovery_shift_rate":
+                                  args.recovery_shift_rate}
                              if gate_mode == "auto_recovery" else None))
             Connection(vel, slam.velocity_input, synapse=None)
             Connection(init_node, slam.pathintegrator.input, synapse=None)
