@@ -253,9 +253,12 @@ def main():
     sim = Simulator(net, seed=args.seed)
     print(f"build: {time.time() - t0:.1f}s", flush=True)
 
-    # the two SLAM subnets hoist their gate scalars in build order
+    # the two SLAM subnets hoist their gate scalars in build order; sort
+    # the h<N> keys NUMERICALLY (lexicographic order would put h10 before
+    # h2 and silently retune the wrong model's gate)
     hoisted = sim.params["hoisted"]
-    gate_keys = [k for k, v in sorted(hoisted.items())
+    gate_keys = [k for k, v in sorted(hoisted.items(),
+                                      key=lambda kv: int(kv[0][1:]))
                  if "update_thres" in v]
     assert len(gate_keys) == 2, gate_keys
     adaptive_key = gate_keys[1]
@@ -330,7 +333,18 @@ def main():
         done = 0
         while done < n_steps:
             n = min(tick, n_steps - done)
+            # run_steps internally splits into fixed-size segments, each
+            # appending its own probe chunk — remember how many chunks
+            # exist now so this tick's rows can be reassembled exactly
+            # (reading only the last chunk breaks for tick_s > the
+            # segment length)
+            chunk0 = len(sim._probe_data[rec_bp.index])
             sim.run_steps(n)
+
+            def tick_rows(bp, _c0=chunk0, _n=n):
+                chunks = [np.asarray(c)
+                          for c in sim._probe_data[bp.index][_c0:]]
+                return np.concatenate(chunks, axis=0)[-_n:]
             # the agreement statistic is meaningful only while landmarks
             # are in view (with none, the estimate decays to noise and a
             # raw cosine chatters — measured: 15 false triggers per 100 s
@@ -346,10 +360,10 @@ def main():
             # above floor) — new-landmark encounters during mapping
             # otherwise read as tracking loss (measured: 6-15 false
             # triggers per 100 s without this)
-            rec = np.asarray(sim._probe_data[rec_bp.index][-1])[-n:][rows]
+            rec = tick_rows(rec_bp)[rows]
             familiar = float(np.mean(np.linalg.norm(rec, axis=1)))
-            est = np.asarray(sim._probe_data[est_bp.index][-1])[-n:][rows]
-            pi = np.asarray(sim._probe_data[api_bp.index][-1])[-n:][rows]
+            est = tick_rows(est_bp)[rows]
+            pi = tick_rows(api_bp)[rows]
             agree = float(np.mean(
                 np.sum(est * pi, axis=1)
                 / (np.linalg.norm(est, axis=1)

@@ -222,8 +222,11 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
     * on sustained low agreement (EMA < ``trigger``) enter recovery for
       ``recovery_T`` seconds: corrections always applied at
       ``recovery_shift_rate``, and map learning suppressed through the
-      extra output channel wired into ``AssociativeMemory.learning``
-      (a wrong self-estimate would otherwise rewrite the map);
+      extra ``suppress`` output channel (a wrong self-estimate would
+      otherwise rewrite the map).  SLAMNetwork wires that channel into
+      the PES error population (inhibition) AND, sign-inverted, into the
+      Voja rule so its 1+gate learning signal cancels to zero — see the
+      wiring comment in ``SLAMNetwork.__init__``;
     * the timer re-triggers immediately if agreement is still low at
       expiry, so recovery effectively holds until tracking restores.
 
@@ -485,14 +488,26 @@ class SLAMNetwork(Network):
             if gate_mode == "auto_recovery":
                 # the controller's extra inputs/outputs: raw recall
                 # magnitude is the landmark-familiarity evidence, and the
-                # suppress channel freezes map learning during recovery
-                # (both PES via the inhibited error population and Voja
-                # via its gated rule — the same path the in-view signal
-                # uses)
+                # suppress channel (value 10 during recovery) freezes map
+                # learning.  It must NOT ride the `learning` node: that
+                # node inhibits the PES error population, but the Voja
+                # rule's learning signal is 1 + gate (nengo semantics), so
+                # +10 there would ACCELERATE encoder drift 11x while a
+                # landmark is in view — the opposite of suppression.
+                # Instead wire the two effects with the correct signs:
+                # -2.5/neuron into the error population (the same
+                # inhibition the in-view signal applies, freezing PES) and
+                # -0.1 into the Voja rule so its signal is 1 - 1 = 0.
                 Connection(self.assomemory.recall,
                            self.update_state[2 * d:3 * d], synapse=tau)
                 Connection(self.update_state[d],
-                           self.assomemory.learning, synapse=None)
+                           self.assomemory.error.neurons,
+                           transform=-2.5 * np.ones((mem_n_neurons, 1)),
+                           synapse=None)
+                if voja:
+                    Connection(self.update_state[d],
+                               self.assomemory.conn_in.learning_rule,
+                               transform=-0.1, synapse=None)
 
 
 def _vel_scale(max_abs_freq) -> float:

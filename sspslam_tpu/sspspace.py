@@ -274,38 +274,52 @@ class SSPSpace:
         return self.encode(x)
 
     # -- domain sampling ----------------------------------------------------
-    def get_sample_points(self, samples_per_dim=100, method="length-scale"):
+    def _domain_box(self):
+        """Per-axis (lo, hi) sampling box; an unbounded space falls back to
+        the reference's +-10 default box."""
         if self.domain_bounds is None:
-            bounds = np.vstack([-10 * np.ones(self.domain_dim),
-                                10 * np.ones(self.domain_dim)]).T
-        else:
-            bounds = self.domain_bounds
+            r = 10.0 * np.ones(self.domain_dim)
+            return -r, r
+        return self.domain_bounds[:, 0], self.domain_bounds[:, 1]
 
+    def domain_grid(self, n_per_axis):
+        """Regular mesh over the domain box.
+
+        ``n_per_axis`` — one count broadcast to every axis, or a per-axis
+        sequence.  Returns ``(axes, pts)``: the axis coordinate vectors and
+        the flattened mesh points, ``pts.shape == (prod(n), domain_dim)``,
+        flattened in ``np.meshgrid`` xy-order (axis-0 varies fastest along
+        columns) so a similarity field reshapes straight onto the mesh.
+        Shared by :meth:`get_sample_points`, :meth:`similarity_grid` and
+        the experiment heatmap renderers."""
+        lo, hi = self._domain_box()
+        counts = np.broadcast_to(np.asarray(n_per_axis, dtype=int),
+                                 (self.domain_dim,))
+        axes = [np.linspace(a, b, k) for a, b, k in zip(lo, hi, counts)]
+        mesh = np.meshgrid(*axes)
+        return axes, np.stack([m.ravel() for m in mesh], axis=-1)
+
+    def get_sample_points(self, samples_per_dim=100, method="length-scale"):
+        """Sample the domain box: a regular mesh (``grid``), a mesh at ~2
+        points per kernel width (``length-scale``), or a low-discrepancy
+        fill (``sobol`` / ``Rd``) of ``prod(samples_per_dim)`` points."""
         if method == "grid":
-            n_per = [samples_per_dim] * bounds.shape[0]
-        elif method == "length-scale":
-            n_per = [2 * int(np.ceil((b[1] - b[0]) / self.length_scale[i]))
-                     for i, b in enumerate(bounds)]
-        else:
-            n_per = samples_per_dim
-
-        if method in ("grid", "length-scale"):
-            axes = [np.linspace(bounds[i, 0], bounds[i, 1], n_per[i])
-                    for i in range(self.domain_dim)]
-            grids = np.meshgrid(*axes)
-            pts = np.array([g.reshape(-1) for g in grids]).T
-            return pts
-        elif method == "sobol":
-            num_points = int(np.prod(n_per))
-            sampler = qmc.Sobol(d=self.domain_dim, seed=self.rng)
-            u = sampler.random(num_points)
-            return qmc.scale(u, bounds[:, 0], bounds[:, 1])
+            return self.domain_grid(samples_per_dim)[1]
+        if method == "length-scale":
+            lo, hi = self._domain_box()
+            widths = self.length_scale.ravel()[:self.domain_dim]
+            counts = 2 * np.ceil((hi - lo) / widths).astype(int)
+            return self.domain_grid(counts)[1]
+        n_total = int(np.prod(samples_per_dim))
+        if method == "sobol":
+            u = qmc.Sobol(d=self.domain_dim, seed=self.rng).random(n_total)
         elif method == "Rd":
-            num_points = int(np.prod(samples_per_dim))
-            u = Rd_sampling(num_points, self.domain_dim)
-            return qmc.scale(u, bounds[:, 0], bounds[:, 1])
+            u = Rd_sampling(n_total, self.domain_dim)
         else:
-            raise NotImplementedError(f"Sampling method {method} is not implemented")
+            raise NotImplementedError(
+                f"Sampling method {method} is not implemented")
+        lo, hi = self._domain_box()
+        return lo + u * (hi - lo)
 
     def get_sample_ssps(self, num_points, **kwargs):
         return self.encode(self.get_sample_points(num_points, **kwargs))
@@ -371,33 +385,38 @@ class SSPSpace:
             encoders[i] = np.fft.ifft(res).real
         return encoders
 
-    def similarity_plot(self, ssp, n_grid=100, plot_type="heatmap", ax=None, **kwargs):
-        import matplotlib.pyplot as plt
-        if ax is None:
-            fig = plt.figure()
-            ax = fig.add_subplot(111)
+    def similarity_grid(self, ssp, n_grid=100):
+        """Similarity field <ssp, phi(grid)> over the domain box.
+
+        Returns ``(axes, field)`` where ``field`` is shaped onto the mesh
+        (1-D: ``(n,)``; 2-D: ``(ny, nx)`` matching ``np.meshgrid``).  The
+        raw ingredient of :meth:`similarity_plot` and the experiment
+        posterior-heatmap GIFs."""
+        axes, pts = self.domain_grid(n_grid)
+        field = self.encode(pts) @ np.ravel(np.asarray(ssp))
         if self.domain_dim == 1:
-            xs = np.linspace(self.domain_bounds[0, 0], self.domain_bounds[0, 1], n_grid)
-            sims = np.atleast_2d(ssp) @ self.encode(np.atleast_2d(xs).T).T
-            im = ax.plot(xs, sims.reshape(-1), **kwargs)
-            ax.set_xlim(self.domain_bounds[0, 0], self.domain_bounds[0, 1])
-        elif self.domain_dim == 2:
-            xs = np.linspace(self.domain_bounds[0, 0], self.domain_bounds[0, 1], n_grid)
-            ys = np.linspace(self.domain_bounds[1, 0], self.domain_bounds[1, 1], n_grid)
-            X, Y = np.meshgrid(xs, ys)
-            sims = np.atleast_2d(ssp) @ self.encode(
-                np.vstack([X.reshape(-1), Y.reshape(-1)]).T).T
-            Z = sims.reshape(X.shape)
-            if plot_type == "heatmap":
-                im = ax.pcolormesh(X, Y, Z, **kwargs)
-            elif plot_type == "contour":
-                im = ax.contour(X, Y, Z, **kwargs)
-            elif plot_type == "contourf":
-                im = ax.contourf(X, Y, Z, **kwargs)
-            ax.set_xlim(self.domain_bounds[0, 0], self.domain_bounds[0, 1])
-            ax.set_ylim(self.domain_bounds[1, 0], self.domain_bounds[1, 1])
+            return axes, field
+        return axes, field.reshape(tuple(len(a) for a in reversed(axes)))
+
+    def similarity_plot(self, ssp, n_grid=100, plot_type="heatmap", ax=None,
+                        **kwargs):
+        """Render the similarity field of ``ssp`` (1-D: a line; 2-D: a
+        ``heatmap``/``contour``/``contourf``).  Capability parity with the
+        reference's similarity_plot; built on :meth:`similarity_grid`."""
+        import matplotlib.pyplot as plt
+        if self.domain_dim > 2:
+            raise NotImplementedError(
+                "similarity_plot supports 1-D and 2-D domains")
+        ax = ax if ax is not None else plt.figure().add_subplot(111)
+        axes, field = self.similarity_grid(ssp, n_grid=n_grid)
+        if self.domain_dim == 1:
+            im = ax.plot(axes[0], field, **kwargs)
         else:
-            raise NotImplementedError()
+            draw = {"heatmap": ax.pcolormesh, "contour": ax.contour,
+                    "contourf": ax.contourf}[plot_type]
+            im = draw(axes[0], axes[1], field, **kwargs)
+            ax.set_ylim(axes[1][0], axes[1][-1])
+        ax.set_xlim(axes[0][0], axes[0][-1])
         return im
 
     # -- MLP decoder (jax/optax replacement for the Keras net,

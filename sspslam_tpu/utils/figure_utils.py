@@ -22,6 +22,59 @@ palette = [blues[1], oranges[1], greens[2], reds[1], purples[1],
            browns[1], yellows[2], greys[3]]
 
 
+def use_publication_style(usetex=None):
+    """Apply the publication figure style the reference loads at import
+    time (reference figure_utils.py:17-29 + its bundled matplotlibrc):
+    9 pt sans-serif text, frameless legends, open top/right spines,
+    inward thin ticks, and — when a TeX toolchain is actually present —
+    LaTeX text rendering with bold-vector macros.
+
+    Differences by design: applied on CALL, not import (importing a
+    plotting helper must not restyle the process), and ``usetex`` is
+    auto-detected (``None``) because most deploy images carry no TeX;
+    the reference unconditionally enables it and crashes without LaTeX.
+    The style values are set directly as rcParams instead of shipping an
+    rc file (the reference's rc is third-party GPL-licensed code).
+    """
+    import shutil
+
+    import matplotlib as mpl
+
+    thin = 0.566  # the reference style's hairline weight (0.8 * 1/sqrt(2))
+    mpl.rcParams.update({
+        "font.family": "sans-serif",
+        "font.size": 9.0,
+        "legend.fontsize": 9.0,
+        "legend.frameon": False,
+        "axes.labelsize": 9.0,
+        "axes.titlesize": 9.0,
+        "axes.titleweight": "bold",
+        "axes.xmargin": 0.05,
+        "axes.ymargin": 0.05,
+        "axes.linewidth": thin,
+        "axes.spines.top": False,
+        "axes.spines.right": False,
+        "xtick.labelsize": 9.0,
+        "ytick.labelsize": 9.0,
+        "xtick.direction": "in",
+        "ytick.direction": "in",
+        "xtick.major.width": thin,
+        "ytick.major.width": thin,
+        "lines.linewidth": 1.0,
+    })
+    if usetex is None:
+        usetex = shutil.which("latex") is not None
+    if usetex:
+        mpl.rcParams["text.usetex"] = True
+        mpl.rcParams["text.latex.preamble"] = "\n".join([
+            r"\usepackage{amssymb}",
+            r"\renewcommand*\familydefault{\sfdefault}",
+            r"\renewcommand{\vec}[1]{\mathbf{#1}}",
+            r"\newcommand{\mat}[1]{\mathbf{#1}}",
+        ])
+    return usetex
+
+
 def circles(x, y, s, c="b", vmin=None, vmax=None, ax=None, **kwargs):
     """Scatter of true-radius circles (data units), like the reference's
     ``circles`` helper (figure_utils.py:44-77)."""

@@ -39,9 +39,26 @@ def cross_check(net, T=0.2, seed=0, atol=1e-3, spike_flip_tolerant=False):
             med = np.median(per_t) / scale
             q80 = np.quantile(per_t, 0.80) / scale
             peak = per_t.max() / scale
+            # excursions must stay RARE and BRIEF: a spike flip shows up as
+            # scattered 1-2 step blips (measured: longest run 2 on the full
+            # SLAM check), while a genuine backend mismatch diverges and
+            # STAYS diverged — so bound both the excursion fraction and the
+            # longest consecutive run above 5*atol
+            exc = per_t / scale > 5 * atol
+            frac_exc = float(np.mean(exc))
+            run, longest_run = 0, 0
+            for e in exc:
+                run = run + 1 if e else 0
+                longest_run = max(longest_run, run)
             assert med < atol, f"probe {bp.index}: median err {med}"
             assert q80 < 5 * atol, f"probe {bp.index}: q80 err {q80}"
             assert peak < 0.25, f"probe {bp.index}: peak err {peak}"
+            assert frac_exc < 0.10, (
+                f"probe {bp.index}: {frac_exc:.1%} of steps exceed 5*atol "
+                f"— sustained divergence, not a spike flip")
+            assert longest_run <= max(5, int(0.03 * len(exc))), (
+                f"probe {bp.index}: {longest_run} consecutive steps above "
+                f"5*atol — the backends diverged and stayed diverged")
         else:
             err = per_t.max()
             assert err / scale < atol, f"probe {bp.index}: err {err}, scale {scale}"

@@ -80,6 +80,78 @@ class TestSLAMNetwork:
         err = np.linalg.norm(dec - path[::100], axis=1)
         assert np.median(err[5:]) < 0.45
 
+    def test_recovery_suppresses_voja_and_pes(self, space):
+        """During auto-recovery the suppress channel must FREEZE map
+        learning: Voja's 1+gate signal cancels to 0 (not 11 — routing the
+        +10 suppress through `assomemory.learning` would accelerate
+        encoder drift 11x while a landmark is in view) and the PES error
+        population is inhibited.  Compares the same world with the gate
+        forced into permanent recovery vs the reference gate."""
+        T, dt = 0.5, 0.001
+        path, vels, vec_to_lm = make_world(T=T, seed=3, high=2.0)
+        d = space.ssp_dim
+        lm_space = SPSpace(3, d, seed=3)
+        view_rad = 5.0  # always in view -> memory active every step
+
+        (velocity_func, scale, in_view_f, _, sp_f, _, vecssp_f) = \
+            get_slam_input_functions(space, lm_space, vels, vec_to_lm,
+                                     view_rad)
+
+        def run(gate_mode, gate_kwargs=None):
+            with Network(seed=3) as net:
+                vel = Node(velocity_func)
+                lm_id = Node(sp_f)
+                lm_ssp = Node(vecssp_f)
+                in_view = Node(in_view_f)
+                slam = SLAMNetwork(space, lm_space, view_rad, 3,
+                                   pi_n_neurons=80, mem_n_neurons=90,
+                                   circonv_n_neurons=30,
+                                   vel_scaling_factor=scale,
+                                   cleanup_samples_per_dim=10, seed=3,
+                                   gate_mode=gate_mode,
+                                   gate_kwargs=gate_kwargs)
+                Connection(vel, slam.velocity_input, synapse=None)
+                Connection(lm_id, slam.landmark_id_input, synapse=None)
+                Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
+                Connection(in_view, slam.no_landmark_in_view, synapse=None)
+                enc_p = Probe(slam.assomemory.conn_in.learning_rule,
+                              attr="scaled_encoders", sample_every=T)
+                w_p = Probe(slam.assomemory.conn_out, attr="weights",
+                            sample_every=T)
+            sim = Simulator(net, seed=3, default_neuron_type=LIFRate())
+            sim.run(T)
+            return np.asarray(sim.data[enc_p][-1]), np.asarray(
+                sim.data[w_p][-1])
+
+        # permanent recovery: armed at start, trigger above any agreement
+        enc_rec, w_rec = run("auto_recovery",
+                             {"arm_at_start": True, "trigger": 2.0,
+                              "familiar": 0.0, "recovery_T": 2 * T})
+        enc_ref, w_ref = run("reference")
+
+        # the reference gate learns: encoders and decoders both move
+        with Network(seed=3) as probe_net:
+            slam0 = SLAMNetwork(space, lm_space, view_rad, 3,
+                                pi_n_neurons=80, mem_n_neurons=90,
+                                circonv_n_neurons=30,
+                                vel_scaling_factor=scale,
+                                cleanup_samples_per_dim=10, seed=3)
+            enc_p0 = Probe(slam0.assomemory.conn_in.learning_rule,
+                           attr="scaled_encoders", sample_every=dt)
+        sim0 = Simulator(probe_net, seed=3, default_neuron_type=LIFRate())
+        sim0.run_steps(1)
+        enc_init = np.asarray(sim0.data[enc_p0][0])
+
+        drift_ref = np.abs(enc_ref - enc_init).max()
+        drift_rec = np.abs(enc_rec - enc_init).max()
+        assert drift_ref > 1e-5, "control run should learn encoders"
+        # Voja signal cancels exactly to zero during recovery
+        assert drift_rec <= 1e-6, (
+            f"recovery must freeze Voja (drift {drift_rec} vs active "
+            f"{drift_ref})")
+        # PES decoders frozen up to the brief error-filter transient
+        assert np.abs(w_rec).max() < 0.05 * max(np.abs(w_ref).max(), 1e-9)
+
     def test_multi_landmark_adapter(self, space):
         from sspslam_tpu.models import get_slam_input_functions2
         path, vels, vec_to_lm = make_world(T=0.5, seed=1)
