@@ -17,6 +17,7 @@ repo itself publishes no numbers, see BASELINE.md).
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -34,10 +35,45 @@ def log(*a):
 PEAK_F32_FLOPS = 99e12
 
 
+#: accuracy gate: a perf change that degrades tracking below this marks
+#: the JSON accuracy_pass=false (round-3 review: nothing failed if an
+#: optimisation silently traded correctness for steps/s)
+ACCURACY_GATE = 0.93
+
+
 def model_flops_per_step(model) -> float:
     from sspslam_tpu.utils.profiling import model_utilization_summary
     return float(sum(r["flops_per_step"]
                      for r in model_utilization_summary(model)))
+
+
+def measure_device_us_per_step(sim, steps=2000, seg=1000):
+    """Device self-time per step from XLA's own per-op accounting (the
+    experiments/device_time_probe.py method): host/tunnel-load-invariant,
+    unlike wall throughput.  Returns None when the profiler tooling is
+    unavailable (e.g. CPU smoke runs)."""
+    import glob
+    import tempfile
+
+    import jax
+    try:
+        tdir = tempfile.mkdtemp(prefix="bench_devtime_")
+        jax.profiler.start_trace(tdir)
+        sim.run_steps(steps, segment_steps=seg)
+        jax.block_until_ready(sim.state)
+        jax.profiler.stop_trace()
+        from xprof.convert import raw_to_tool_data as rtd
+        f = glob.glob(os.path.join(tdir, "plugins/profile/*/*.xplane.pb"))
+        data, _ = rtd.xspace_to_tool_data(f, "hlo_stats", {})
+        rows = json.loads(data)
+        cols = [c["label"] for c in rows["cols"]]
+        i_t = cols.index("Total self time (us)")
+        total_us = sum((r["c"][i_t].get("v") or 0) for r in rows["rows"])
+        us = total_us / steps
+        return us if us > 0 else None
+    except Exception as e:  # profiler tooling absent / trace failed
+        log(f"device-time probe unavailable: {e!r}")
+        return None
 
 
 def build(args):
@@ -329,7 +365,35 @@ def main():
                     help="force the CPU backend (smoke tests; the session "
                          "presets a TPU tunnel platform that an env var "
                          "alone cannot override)")
+    ap.add_argument("--no-device-time", action="store_true",
+                    help="skip the XLA per-op device-time probe")
+    ap.add_argument("--scaled", action="store_true",
+                    help="run the scaled-regime flagship instead (BASELINE "
+                         "config 5: 3-D, ssp_dim=201, 10k-neuron memory, "
+                         "vmapped multi-seed episodes) via "
+                         "experiments/scaled_slam.py and forward its JSON")
+    ap.add_argument("--scaled-T", type=float, default=120.0)
+    ap.add_argument("--scaled-seeds", default="0,1,2,3")
     args = ap.parse_args()
+
+    if args.scaled:
+        import subprocess
+        cmd = [sys.executable,
+               os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "experiments", "scaled_slam.py"),
+               "--T", str(args.scaled_T), "--seeds", args.scaled_seeds]
+        if args.bf16:
+            cmd.append("--bf16")
+        if args.cpu:
+            cmd.append("--cpu")
+        out = subprocess.run(cmd, capture_output=True, text=True)
+        sys.stderr.write(out.stderr)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines or out.returncode != 0:
+            sys.stderr.write(out.stdout)
+            raise SystemExit(out.returncode or 1)
+        print(lines[-1])
+        return
 
     import jax
     if args.cpu:
@@ -439,7 +503,18 @@ def main():
     tracking_cos = float(np.mean(sims[-k // 4:]))
     log(f"tracking cosine sim (last quarter): {tracking_cos:.3f}")
 
+    device_us = None
+    if not args.no_device_time:
+        # XLA per-op accounting: host/tunnel-load-invariant us/step, the
+        # stable companion to the wall-clock ratio (the round-3 review
+        # flagged vs_baseline drifting with host generation/load)
+        device_us = measure_device_us_per_step(sim, steps=seg, seg=seg)
+        if device_us is not None:
+            log(f"device self-time: {device_us:.2f} us/step")
+            sim._preload_start = sim.n_steps - seg
+
     vs_baseline = float("nan")
+    ref_sps = None
     if not args.skip_baseline:
         # Host-only NumPy interpreter baseline.  The model's jnp node
         # functions (clean-up argmax, gate) are evaluated through their
@@ -463,6 +538,9 @@ def main():
             f"(median of {args.baseline_reps}x{n_base} steps; "
             f"range {min(base_rates):.1f}-{max(base_rates):.1f})")
         vs_baseline = steps_per_s / ref_sps
+        if device_us is not None:
+            log(f"device-time ratio: {1e6 / device_us / ref_sps:.1f}x "
+                "(XLA self-time vs interpreter)")
 
     n_neurons = sum((be.k * be.n if be.batched else be.n)
                     for be in sim.model.ensembles)
@@ -477,6 +555,15 @@ def main():
         "unit": "steps/s",
         "vs_baseline": (round(vs_baseline, 1)
                         if np.isfinite(vs_baseline) else None),
+        # provenance for the host-dependent ratio: its measured denominator
+        # and the host-load-invariant XLA device self-time
+        "baseline_steps_per_s": (None if ref_sps is None
+                                 else round(ref_sps, 1)),
+        "device_us_per_step": (None if device_us is None
+                               else round(device_us, 3)),
+        "device_time_ratio": (
+            None if (device_us is None or ref_sps is None)
+            else round(1e6 / device_us / ref_sps, 1)),
         "rep_range": [round(min(rates), 1), round(max(rates), 1)],
         "n_reps": args.reps,
         "flops_per_step": flops_step,
@@ -486,6 +573,10 @@ def main():
         # reference-default hyperparameters; the loop-closure quality
         # protocol with tuned config lives in validate_loop_closure.py)
         "tracking_cosine": round(tracking_cos, 4),
+        # accuracy gate: a perf change may not silently trade tracking
+        # quality for steps/s
+        "accuracy_gate": ACCURACY_GATE,
+        "accuracy_pass": bool(tracking_cos >= ACCURACY_GATE),
     }))
 
 

@@ -1,0 +1,368 @@
+"""Scaled-regime SLAM: BASELINE config 5 — 3-D domain, ssp_dim>=201,
+10k-neuron memory ensembles, vmapped multi-seed episodes on one chip.
+
+This is the regime that justifies a TPU build: at the reference's flagship
+scale (2-D, d=97, ~82k LIF) the compiled step is op-latency-bound and MFU
+is fractions of a percent; here the memory/OVC populations are 10x wider,
+the circular-convolution banks 2x, and B independent worlds (different
+paths AND landmark layouts, same built model) advance inside ONE vmapped
+``lax.scan`` — the matmuls are (B x) 10k-wide and actually feed the MXU.
+
+Protocol scaling follows the reference CLI's defaults relative to its own
+scale (/root/reference/experiments/run_slam.py:23-34): random band-limited
+path per seed, Rd-sampled landmarks, view-radius landmark observations,
+tuned loop-closure hyperparameters (tune_loop_closure.py round 3).
+
+Per-seed worlds share one built model: landmark SPs and all network
+parameters are common; each episode's path, landmark placement and learned
+map (PES/Voja state in the vmapped carry) are independent — the TPU-native
+rendering of the reference's one-process-per-seed trial harness.
+
+Usage (defaults = the committed VALIDATION.md run):
+  python experiments/scaled_slam.py --T 120 --seeds 0,1,2,3
+  python experiments/scaled_slam.py --dp-sweep 1,2,4,8 --T 20   # knee only
+Prints one JSON line; add --save for the npz.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(1, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import sspslam_tpu
+from sspslam_tpu import HexagonalSSPSpace
+from sspslam_tpu.models import (PathIntegration, SLAMNetwork,
+                                get_slam_input_functions2)
+from sspslam_tpu.nef import Connection, Network, Node, Probe, Simulator
+from sspslam_tpu.nef.processes import TimeTable, clamp_table
+from sspslam_tpu.utils.sampling import Rd_sampling
+
+from experiments.common import DT, decode_output
+
+PEAK_F32_FLOPS = 99e12  # v5e f32 MXU peak (bench.py)
+
+
+def make_world(args, space, lm_space, seed, shared_scale):
+    """One seed's world: 3-D band-limited path + Rd landmarks, rendered to
+    the five input tables (vel, init-clamp, lm-sp, lm-vecssp, in-view)."""
+    from sspslam_tpu.nef import WhiteSignal
+    dt = DT
+    n_steps = int(args.T / dt)
+    dim = args.domain_dim
+    path = np.hstack([
+        WhiteSignal(args.T, high=args.limit, seed=seed + 77 * i).run(
+            args.T, dt=dt)
+        for i in range(dim)])[:n_steps]
+    for i in range(dim):
+        lo, hi = path[:, i].min(), path[:, i].max()
+        path[:, i] = ((path[:, i] - lo) / max(hi - lo, 1e-12) * 1.8 - 0.9)
+    vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
+    obj_locs = 0.9 * 2 * (Rd_sampling(args.n_landmarks, dim, seed=seed) - 0.5)
+    vec_to_lm = obj_locs[None, :, :] - path[:, None, :]
+
+    (_, _, in_view_f, _, sp_f, _, vecssp_f) = get_slam_input_functions2(
+        space, lm_space, vels, vec_to_lm, args.view_rad)
+    # the velocity scale is baked into the MODEL's VCO transforms, so all
+    # episodes must share one; rows are built here from the shared factor
+    tables = {
+        "vel": (vels * shared_scale).astype(np.float32),
+        "init": clamp_table(space.encode(path[:1]).flatten(), 0.05,
+                            dt).rows(0, n_steps),
+        "lm_sp": sp_f.rows(0, n_steps),
+        "lm_vecssp": vecssp_f.rows(0, n_steps),
+        "in_view": in_view_f.rows(0, n_steps),
+    }
+    return path, vels, tables
+
+
+def main():
+    ap = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    ap.add_argument("--T", type=float, default=120.0)
+    ap.add_argument("--seeds", default="0,1,2,3",
+                    help="one vmapped episode (world) per seed")
+    ap.add_argument("--domain-dim", type=int, default=3)
+    ap.add_argument("--ssp-dim", type=int, default=201)
+    ap.add_argument("--length-scale", type=float, default=0.3)
+    ap.add_argument("--pi-n-neurons", type=int, default=800)
+    ap.add_argument("--mem-n-neurons", type=int, default=10000)
+    ap.add_argument("--circonv-n-neurons", type=int, default=100)
+    ap.add_argument("--n-landmarks", type=int, default=100)
+    ap.add_argument("--view-rad", type=float, default=0.4)
+    ap.add_argument("--limit", type=float, default=0.1)
+    # tuned loop-closure config (experiments/tune_loop_closure.py, round 3)
+    ap.add_argument("--update-thres", type=float, default=0.4)
+    ap.add_argument("--shift-rate", type=float, default=0.1)
+    ap.add_argument("--pes-lr", type=float, default=2e-2)
+    ap.add_argument("--voja-lr", type=float, default=1e-4)
+    ap.add_argument("--intercept", type=float, default=0.3)
+    ap.add_argument("--cleanup-samples", type=int, default=20,
+                    help="clean-up bank samples per domain axis (20^3 rows "
+                         "in 3-D; the reference's 100/dim grid would be a "
+                         "10^6-row bank, SURVEY.md 'hard parts')")
+    ap.add_argument("--decode-grid", type=int, default=30)
+    ap.add_argument("--segment-steps", type=int, default=5000)
+    ap.add_argument("--probe-every", type=float, default=0.05)
+    ap.add_argument("--scan-unroll", type=int, default=4)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 matmul params (f32 accumulation)")
+    ap.add_argument("--no-pi-control", action="store_true",
+                    help="skip the PI-only control model (halves the VCO "
+                         "count; the SLAM-vs-drift separation is then not "
+                         "measured)")
+    ap.add_argument("--dp-sweep", default=None,
+                    help="comma list of B: throughput-only episode-batch "
+                         "sweep at this scale (world 0 replicated)")
+    ap.add_argument("--save", action="store_true")
+    ap.add_argument("--save-dir", default="data")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke tests)")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    dt = DT
+    n_steps = int(args.T / dt)
+    seeds = [int(s) for s in args.seeds.split(",")]
+    B = len(seeds)
+    dim = args.domain_dim
+
+    bounds = 1.1 * np.tile(np.array([-1, 1.0]), (dim, 1))
+    space = HexagonalSSPSpace(dim, ssp_dim=args.ssp_dim, seed=seeds[0],
+                              length_scale=args.length_scale,
+                              domain_bounds=bounds)
+    d = space.ssp_dim
+    lm_space = sspslam_tpu.SPSpace(args.n_landmarks, d, seed=seeds[0])
+    print(f"space: {dim}-D, ssp_dim={d} "
+          f"({(d + 1) // 2} VCOs)", flush=True)
+
+    # shared velocity scale across worlds (baked into the VCO transforms)
+    t0 = time.time()
+    from sspslam_tpu.nef import WhiteSignal
+    worlds_raw = []
+    max_freq = 0.0
+    for s in seeds:
+        path = np.hstack([
+            WhiteSignal(args.T, high=args.limit, seed=s + 77 * i).run(
+                args.T, dt=dt) for i in range(dim)])[:n_steps]
+        for i in range(dim):
+            lo, hi = path[:, i].min(), path[:, i].max()
+            path[:, i] = ((path[:, i] - lo) / max(hi - lo, 1e-12)
+                          * 1.8 - 0.9)
+        vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
+        max_freq = max(max_freq, float(np.max(
+            np.abs(space.phase_matrix @ vels.T))))
+        worlds_raw.append(path)
+    shared_scale = 1.0 / max_freq
+
+    paths, tables_by_seed = [], []
+    for s in seeds:
+        path, vels, tables = make_world(args, space, lm_space, s,
+                                        shared_scale)
+        paths.append(path)
+        tables_by_seed.append(tables)
+    print(f"worlds: {B} built in {time.time() - t0:.1f}s", flush=True)
+
+    node_key = {}
+    with Network(seed=seeds[0]) as net:
+        # input nodes carry world 0; per-episode tables override them below
+        t0w = tables_by_seed[0]
+        vel = Node(TimeTable(t0w["vel"], dt)); node_key[vel] = "vel"
+        init = Node(TimeTable(t0w["init"], dt)); node_key[init] = "init"
+        lm_id = Node(TimeTable(t0w["lm_sp"], dt)); node_key[lm_id] = "lm_sp"
+        lm_ssp = Node(TimeTable(t0w["lm_vecssp"], dt))
+        node_key[lm_ssp] = "lm_vecssp"
+        in_view = Node(TimeTable(t0w["in_view"], dt))
+        node_key[in_view] = "in_view"
+
+        slam = SLAMNetwork(
+            space, lm_space, args.view_rad, args.n_landmarks,
+            args.pi_n_neurons, args.mem_n_neurons, args.circonv_n_neurons,
+            update_thres=args.update_thres, shift_rate=args.shift_rate,
+            voja_learning_rate=args.voja_lr, pes_learning_rate=args.pes_lr,
+            intercept=args.intercept, vel_scaling_factor=shared_scale,
+            cleanup_samples_per_dim=args.cleanup_samples, seed=seeds[0])
+        Connection(vel, slam.velocity_input, synapse=None)
+        Connection(init, slam.pathintegrator.input, synapse=None)
+        Connection(lm_id, slam.landmark_id_input, synapse=None)
+        Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
+        Connection(in_view, slam.no_landmark_in_view, synapse=None)
+        slam_p = Probe(slam.pathintegrator.output, synapse=0.05)
+        pi_p = None
+        if not args.no_pi_control:
+            pi_only = PathIntegration(space, args.pi_n_neurons, 0.05,
+                                      scaling_factor=shared_scale,
+                                      stable=True)
+            Connection(vel, pi_only.velocity_input, synapse=None)
+            Connection(init, pi_only.input, synapse=None)
+            pi_p = Probe(pi_only.output, synapse=0.05)
+
+    t0 = time.time()
+    mm = jnp.bfloat16 if args.bf16 else None
+    sim = Simulator(net, seed=seeds[0], matmul_dtype=mm)
+    build_s = time.time() - t0
+    n_neurons = sum((be.k * be.n if be.batched else be.n)
+                    for be in sim.model.ensembles)
+    from sspslam_tpu.utils.profiling import model_utilization_summary
+    flops_step = float(sum(r["flops_per_step"]
+                           for r in model_utilization_summary(sim.model)))
+    print(f"build: {build_s:.1f}s; {n_neurons:,} LIF neurons, "
+          f"{flops_step / 1e6:.1f} MFLOP/step/episode", flush=True)
+
+    # ---- vmapped multi-episode segment loop (compiled once) ----
+    step = sim._step_fn
+    vstep = jax.vmap(step, in_axes=(0, 0, None))
+    seg = min(args.segment_steps, n_steps)
+    unroll = max(1, min(args.scan_unroll, seg))
+
+    def seg_fn(state, xs, params):
+        def body(c, x):
+            return vstep(c, x, params)
+        return jax.lax.scan(body, state, xs, unroll=unroll)
+
+    run_seg = jax.jit(seg_fn)
+    params_dev = jax.device_put(sim.params)
+
+    input_keys = [node_key[n] for n in sim.model.input_nodes]
+    per = max(1, int(round(args.probe_every / dt)))
+
+    def episode_xs(lo, hi, B_eff, tabs):
+        """Time-major (seg, B, size) blocks for steps [lo, hi)."""
+        out = []
+        for k in input_keys:
+            block = np.stack([t[k][lo:hi] for t in tabs], axis=1)
+            out.append(jnp.asarray(block))
+        return out
+
+    def run_episodes(tabs, total_steps, collect=True):
+        B_eff = len(tabs)
+        state = jax.tree_util.tree_map(
+            lambda x: np.broadcast_to(
+                np.asarray(x), (B_eff,) + np.shape(x)).copy(), sim.state)
+        kept = {slam_p: [], pi_p: []} if collect else None
+        # compile/warm on the first segment, then time the rest
+        t_compile = t_run = 0.0
+        done = 0
+        while done < total_steps:
+            hi = min(done + seg, total_steps)
+            if hi - done < seg:     # tail: pad by clamping (skip timing)
+                break
+            xs = episode_xs(done, hi, B_eff, tabs)
+            t0 = time.time()
+            state, emits = run_seg(state, xs, params_dev)
+            jax.block_until_ready(state["step"])
+            el = time.time() - t0
+            if done == 0:
+                t_compile = el
+            else:
+                t_run += el
+            if collect:
+                for p, idx in ((slam_p, _bp_index(sim, slam_p)),
+                               (pi_p, _bp_index(sim, pi_p))):
+                    if p is None:
+                        continue
+                    e = np.asarray(emits[idx])      # (seg, B, d)
+                    phase = (per - 1 - done % per) % per
+                    kept[p].append(e[phase::per])
+            done = hi
+        steps_timed = done - seg
+        if t_run > 0:
+            agg = B_eff * steps_timed / t_run
+        else:   # single-segment smoke runs: compile+run is all we have
+            agg = B_eff * done / max(t_compile, 1e-9)
+        probes = None
+        if collect:
+            probes = {p: np.swapaxes(np.concatenate(v), 0, 1)
+                      for p, v in kept.items() if p is not None}
+        return probes, agg, t_compile, done
+
+    def _bp_index(sim, probe):
+        if probe is None:
+            return None
+        return next(bp.index for bp in sim.model.probes if bp.obj is probe)
+
+    if args.dp_sweep:
+        rows = []
+        for Bx in [int(x) for x in args.dp_sweep.split(",")]:
+            tabs = [tables_by_seed[0]] * Bx
+            _, agg, t_c, done = run_episodes(tabs, n_steps, collect=False)
+            r = {"B": Bx, "agg_steps_per_s": round(agg, 1),
+                 "mfu": round(flops_step * agg / PEAK_F32_FLOPS, 6),
+                 "compile_s": round(t_c, 1)}
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+        print(json.dumps({
+            "metric": f"scaled {dim}-D SLAM DP sweep (ssp_dim={d}, "
+                      f"mem={args.mem_n_neurons})",
+            "value": rows[-1]["agg_steps_per_s"], "unit": "steps/s",
+            "vs_baseline": None, "dp_sweep": rows}))
+        return
+
+    t0 = time.time()
+    probes, agg, t_compile, done = run_episodes(tables_by_seed, n_steps)
+    wall = time.time() - t0
+    print(f"sim: {B} episodes x {done} steps, compile+first {t_compile:.1f}s,"
+          f" steady {agg:.0f} agg steps/s, total {wall:.1f}s", flush=True)
+
+    # decoded tracking error per seed (skip the first 10 s of map building)
+    results = []
+    k = probes[slam_p].shape[1]
+    for b, s in enumerate(seeds):
+        path_s = paths[b][per - 1::per][:k]
+        entry = {"seed": s}
+        for name, p in (("slam", slam_p), ("pi_only", pi_p)):
+            if p is None:
+                continue
+            est = decode_output(space, probes[p][b], dim,
+                                grid=args.decode_grid)
+            err = np.sqrt(np.sum((path_s - est) ** 2, axis=1))
+            half = err[len(err) // 2:]
+            entry[name] = {"median_err": round(float(np.median(half)), 4),
+                           "final_err": round(float(err[-1]), 4)}
+        results.append(entry)
+        print(json.dumps(entry), flush=True)
+
+    med_slam = float(np.median([r["slam"]["median_err"] for r in results]))
+    out = {
+        "metric": f"scaled {dim}-D SLAM (ssp_dim={d}, "
+                  f"mem={args.mem_n_neurons}, {n_neurons} LIF, "
+                  f"B={B} vmapped episodes, dtype="
+                  f"{'bf16' if args.bf16 else 'f32'})",
+        "value": round(agg, 1), "unit": "steps/s",
+        "agg_steps_per_s": round(agg, 1),
+        "us_per_episode_step": round(1e6 / agg, 3),
+        "mfu": round(flops_step * agg / PEAK_F32_FLOPS, 6),
+        "flops_per_step_per_episode": flops_step,
+        "median_err_slam": round(med_slam, 4),
+        "per_seed": results,
+        "T": args.T, "config": {
+            "ssp_dim": d, "domain_dim": dim,
+            "mem_n_neurons": args.mem_n_neurons,
+            "pi_n_neurons": args.pi_n_neurons,
+            "n_landmarks": args.n_landmarks, "view_rad": args.view_rad,
+            "update_thres": args.update_thres,
+            "shift_rate": args.shift_rate, "pes_lr": args.pes_lr,
+            "voja_lr": args.voja_lr, "intercept": args.intercept},
+    }
+    print(json.dumps(out))
+    if args.save:
+        os.makedirs(args.save_dir, exist_ok=True)
+        fn = os.path.join(args.save_dir,
+                          f"scaled_slam_d{d}_dim{dim}_"
+                          f"mem{args.mem_n_neurons}_B{B}_T{int(args.T)}.npz")
+        np.savez(fn, slam_out=probes[slam_p],
+                 pi_out=(probes[pi_p] if pi_p else np.array([])),
+                 paths=np.stack(paths), meta=np.array([json.dumps(out)]))
+        print(f"saved {fn}")
+
+
+if __name__ == "__main__":
+    main()
