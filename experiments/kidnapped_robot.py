@@ -128,6 +128,21 @@ def main():
                     help="minimum mean recall magnitude for a tick to "
                          "count as evidence (unfamiliar landmarks give a "
                          "noise estimate, not a loss signal)")
+    ap.add_argument("--auto-err-trigger", type=float, default=0.75,
+                    help="map-divergence trigger: mean |PES error| on "
+                         "familiar landmarks above this enters recovery. "
+                         "This signal survives FAST learning rates: the "
+                         "agreement dip is erased within ~1/(lr*a*n) s of "
+                         "a kidnap by the map rewriting itself, but the "
+                         "error transient at the kidnap moment is "
+                         "learning-rate-invariant (|phi(x_true)-"
+                         "phi(x_wrong)| ~ sqrt(2) for a gross jump)")
+    ap.add_argument("--auto-err-ticks", type=int, default=1,
+                    help="consecutive conclusive ticks of map-divergence "
+                         "evidence required (the transient lasts ~1/(lr*"
+                         "a*n) s, so fewer ticks than the agreement rule)")
+    ap.add_argument("--auto-err-ema-tau", type=float, default=0.15,
+                    help="in-model map-divergence EMA time constant (s)")
     ap.add_argument("--auto-min-dwell", type=float, default=8.0,
                     help="minimum seconds in recovery mode before handback "
                          "(the VCO state converges with time constant "
@@ -149,11 +164,12 @@ def main():
     rec_thresh = (args.view_rad if args.recovered_below is None
                   else args.recovered_below)
     if (args.auto or args.in_model) and args.pes_lr >= 1e-2:
-        print(f"WARNING: pes_lr={args.pes_lr:g} re-learns the map to match "
+        print(f"NOTE: pes_lr={args.pes_lr:g} re-learns the map to match "
               "the wrong path integrator within ~1 s of a kidnap, erasing "
-              "the agreement dip the loss detector watches (measured, see "
-              "VALIDATION.md). Use --pes-lr 5e-3 (the reference default) "
-              "for a detectable regime.", file=sys.stderr, flush=True)
+              "the agreement dip — detection in this regime rides the "
+              "map-divergence (PES error) channel, whose transient is "
+              "learning-rate-invariant (--auto-err-trigger).",
+              file=sys.stderr, flush=True)
 
     dt = 0.001
     T = args.T
@@ -204,7 +220,9 @@ def main():
                   "exit_thres": args.auto_exit,
                   "familiar": args.auto_familiar,
                   "ema_tau": args.auto_ema_tau,
-                  "recovery_T": args.recovery_window}
+                  "recovery_T": args.recovery_window,
+                  "err_trigger": args.auto_err_trigger,
+                  "err_ema_tau": args.auto_err_ema_tau}
         slam = SLAMNetwork(
             space, lm_space, args.view_rad, args.n_landmarks,
             args.pi_n_neurons, args.mem_n_neurons, args.circonv_n_neurons,
@@ -238,6 +256,7 @@ def main():
         # noise and its disagreement is not evidence of tracking loss)
         est_probe = Probe(adaptive.position_estimate.output, synapse=0.05)
         recall_probe = Probe(adaptive.assomemory.recall, synapse=0.05)
+        err_probe = Probe(adaptive.assomemory.error, synapse=0.05)
         if args.in_model:
             # the controller's suppress channel records its own
             # enter/exit decisions; 50 ms sampling is plenty
@@ -320,6 +339,7 @@ def main():
         # in view; exits recovery on sustained restored agreement.
         est_bp = next(p for p in sim.model.probes if p.obj is est_probe)
         rec_bp = next(p for p in sim.model.probes if p.obj is recall_probe)
+        err_bp = next(p for p in sim.model.probes if p.obj is err_probe)
         api_bp = next(p for p in sim.model.probes
                       if p.obj is probes["adaptive"])
         in_view_row = (np.linalg.norm(vec_to_landmarks, axis=2).min(axis=1)
@@ -327,7 +347,7 @@ def main():
         tick = max(1, int(args.tick_s / dt))
         min_dwell = max(1, int(args.auto_min_dwell / args.tick_s))
         armed, mode = False, "normal"
-        low, high, dwell = 0, 0, 0
+        low, high, dwell, err_high = 0, 0, 0, 0
         ema = None
         events = []
         done = 0
@@ -364,6 +384,11 @@ def main():
             familiar = float(np.mean(np.linalg.norm(rec, axis=1)))
             est = tick_rows(est_bp)[rows]
             pi = tick_rows(api_bp)[rows]
+            # map-divergence evidence: mean |PES error| over in-view rows
+            # (the rate the live map is being dragged; the signal that
+            # survives fast learning — see --auto-err-trigger)
+            err_rows = tick_rows(err_bp)[rows]
+            err_mag = float(np.mean(np.linalg.norm(err_rows, axis=1)))
             agree = float(np.mean(
                 np.sum(est * pi, axis=1)
                 / (np.linalg.norm(est, axis=1)
@@ -371,7 +396,7 @@ def main():
             if args.auto_debug:
                 print(f"  [tick] t={t_now:6.1f}s inview={rows.mean():.2f} "
                       f"recall|={familiar:.3f} agree={agree:+.2f} "
-                      f"mode={mode}", flush=True)
+                      f"err|={err_mag:.3f} mode={mode}", flush=True)
             if familiar < args.auto_familiar:
                 continue
             ema = agree if ema is None else 0.5 * ema + 0.5 * agree
@@ -379,19 +404,24 @@ def main():
                 if ema >= args.auto_exit:
                     armed = True
                 low = low + 1 if (armed and ema < args.auto_trigger) else 0
-                if low >= args.auto_ticks:
-                    mode, low, dwell = "recovery", 0, 0
+                err_high = (err_high + 1
+                            if (armed and err_mag > args.auto_err_trigger)
+                            else 0)
+                if low >= args.auto_ticks or err_high >= args.auto_err_ticks:
+                    why = ("map divergence" if err_high >= args.auto_err_ticks
+                           else "agreement")
+                    mode, low, err_high, dwell = "recovery", 0, 0, 0
                     enter_recovery()
                     events.append({"t": round(t_now, 2),
-                                   "event": "enter_recovery"})
+                                   "event": "enter_recovery", "why": why})
                     print(f"  [auto] t={t_now:.1f}s tracking loss "
-                          f"(agreement {ema:.2f}) -> recovery mode",
-                          flush=True)
+                          f"({why}: agreement {ema:.2f}, err {err_mag:.2f})"
+                          " -> recovery mode", flush=True)
             else:
                 dwell += 1
                 high = high + 1 if ema >= args.auto_exit else 0
                 if high >= args.auto_ticks and dwell >= min_dwell:
-                    mode, high = "normal", 0
+                    mode, high, err_high = "normal", 0, 0
                     exit_recovery()
                     events.append({"t": round(t_now, 2),
                                    "event": "exit_recovery"})

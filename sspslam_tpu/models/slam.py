@@ -207,35 +207,61 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
                                  recovery_shift_rate=0.3, trigger=0.2,
                                  exit_thres=0.6, familiar=0.25,
                                  ema_tau=0.5, recovery_T=25.0,
-                                 arm_at_start=False):
+                                 arm_at_start=False, err_trigger=0.75,
+                                 err_ema_tau=0.15, recovery_decay=True):
     """Self-healing correction gate (no reference counterpart).
 
     Extends the reference gate (slam.py:233-237) with an IN-MODEL
     tracking-loss controller, runnable entirely inside the compiled step
-    via a stateful node (state = [armed, agreement_ema, recovery_timer]):
+    via a stateful node (state = [armed, agreement_ema, recovery_timer,
+    err_ema]):
 
     * arm once the smoothed agreement cos(estimate, PI) first exceeds
       ``exit_thres`` (before the map is learned, low agreement is normal);
     * a tick is EVIDENCE only while a landmark is in view AND the memory
       recognises it (recall magnitude >= ``familiar``) — unlearned
       landmarks give a noise estimate, not a loss signal;
-    * on sustained low agreement (EMA < ``trigger``) enter recovery for
-      ``recovery_T`` seconds: corrections always applied at
-      ``recovery_shift_rate``, and map learning suppressed through the
-      extra ``suppress`` output channel (a wrong self-estimate would
-      otherwise rewrite the map).  SLAMNetwork wires that channel into
-      the PES error population (inhibition) AND, sign-inverted, into the
-      Voja rule so its 1+gate learning signal cancels to zero — see the
-      wiring comment in ``SLAMNetwork.__init__``;
+    * trigger on EITHER of two loss signals while armed:
+      (a) sustained low agreement (EMA < ``trigger``) — the slow signal;
+      (b) **map-divergence**: a fast EMA (``err_ema_tau``) of the PES
+      error magnitude |recall - value| on FAMILIAR landmarks exceeding
+      ``err_trigger``.  The PES decoder velocity is lr * error x
+      activity, so this is exactly the rate at which the live map is
+      being dragged away from its slow-timescale self — a map rewriting
+      wholesale is being dragged by a wrong pose.  Unlike the agreement
+      signal, which a fast learning rate ERASES within ~1/(lr * a * n)
+      seconds of a kidnap by rewriting the map to match the wrong PI
+      (measured: undetectable at pes_lr=2e-2, VALIDATION.md), the error
+      transient at the kidnap moment is learning-rate-invariant (it is
+      |phi(x_true) - phi(x_wrong)| ~ sqrt(2) for a gross displacement,
+      vs ~0 in steady tracking), so the fast EMA catches it before the
+      rewrite completes;
+    * on trigger, enter recovery for ``recovery_T`` seconds: corrections
+      always applied at ``recovery_shift_rate``, and map learning
+      suppressed through the extra ``suppress`` output channel (a wrong
+      self-estimate would otherwise rewrite the map).  SLAMNetwork wires
+      that channel into the PES error population (inhibition) AND,
+      sign-inverted, into the Voja rule so its 1+gate learning signal
+      cancels to zero — see the wiring comment in
+      ``SLAMNetwork.__init__``;
     * the timer re-triggers immediately if agreement is still low at
-      expiry, so recovery effectively holds until tracking restores.
+      expiry, so recovery effectively holds until tracking restores;
+    * with ``recovery_decay`` (default) the recovery shift rate DECAYS
+      linearly from ``recovery_shift_rate`` to ``shift_rate`` over the
+      window instead of holding: a fresh (gross) loss gets the full pull
+      while the handback approaches steady-state strength smoothly —
+      re-triggers during normal tracking then cost steady-state-like
+      jitter instead of the measured ~2x precision hit of a constant
+      high-rate window (VALIDATION.md map-merge armed-gate numbers).
 
     These rules and constants come from the measured kidnapped-robot
     study (VALIDATION.md).  Inputs: ``x = [pos_est(d), pi_est(d),
-    recall(d), no_view(1)]``; outputs ``[correction(d), suppress(1)]``.
+    recall(d), err(d), no_view(1)]`` (``err`` = the memory's PES error
+    population output); outputs ``[correction(d), suppress(1)]``.
     All thresholds/rates are hoisted traced params.
     """
     alpha = float(dt / ema_tau)
+    alpha_e = float(dt / err_ema_tau)
     R = float(recovery_T / dt)
 
     def gate(t, x, s, consts):
@@ -245,8 +271,10 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         trig = consts["trigger"]
         exitt = consts["exit_thres"]
         fam_floor = consts["familiar"]
+        err_trig = consts["err_trigger"]
         pos_est, pi_est = x[:d], x[d:2 * d]
-        recall, no_view = x[2 * d:3 * d], x[-1]
+        recall, err = x[2 * d:3 * d], x[3 * d:4 * d]
+        no_view = x[-1]
         in_view = jnp.abs(no_view) < 1e-3
         dot = jnp.sum(pos_est * pi_est)
         agree = dot / (jnp.linalg.norm(pos_est)
@@ -254,25 +282,38 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         conclusive = in_view & (jnp.linalg.norm(recall) >= fam_floor)
         ema = jnp.where(conclusive, (1 - alpha) * s[1] + alpha * agree,
                         s[1])
+        # map-divergence evidence decays when inconclusive (out of view /
+        # unfamiliar) instead of holding: the error transient is brief and
+        # must not linger as stale evidence
+        err_mag = jnp.linalg.norm(err)
+        err_ema = jnp.where(conclusive,
+                            (1 - alpha_e) * s[3] + alpha_e * err_mag,
+                            (1 - alpha_e) * s[3])
         armed = jnp.maximum(s[0], (ema >= exitt).astype(jnp.float32))
         timer = jnp.maximum(s[2] - 1.0, 0.0)
-        trigger_now = (armed > 0) & (ema < trig) & (timer <= 0) & conclusive
+        lost = (ema < trig) | (err_ema > err_trig)
+        trigger_now = (armed > 0) & lost & (timer <= 0) & conclusive
         timer = jnp.where(trigger_now, R, timer)
         in_rec = timer > 0
+        # entering recovery resets the divergence evidence: learning is
+        # suppressed inside, so whatever err remains is not new evidence
+        err_ema = jnp.where(trigger_now, 0.0, err_ema)
         gate_ok = in_view & ((dot > thr) | in_rec)
+        rsr_eff = (sr + (rsr - sr) * timer / R) if recovery_decay else rsr
         corr = jnp.where(gate_ok,
-                         jnp.where(in_rec, rsr, sr) * (pos_est - pi_est),
+                         jnp.where(in_rec, rsr_eff, sr)
+                         * (pos_est - pi_est),
                          jnp.zeros(d, jnp.float32))
         suppress = jnp.where(in_rec, 10.0, 0.0)
         out = jnp.concatenate([corr, suppress[None]])
-        return out, jnp.stack([armed, ema, timer])
+        return out, jnp.stack([armed, ema, timer, err_ema])
 
     # trusted-map / localization mode: a pre-learned map was injected and
     # the agent may start outside its coverage, so waiting for tracking to
     # be established first (the arming latch) would lock the gate out —
     # start armed instead
     gate.state_init = np.array(
-        [1.0 if arm_at_start else 0.0, 0.0, 0.0], np.float32)
+        [1.0 if arm_at_start else 0.0, 0.0, 0.0, 0.0], np.float32)
     gate.hoisted_consts = {
         "update_thres": np.float32(update_thres),
         "shift_rate": np.float32(shift_rate),
@@ -280,6 +321,7 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         "trigger": np.float32(trigger),
         "exit_thres": np.float32(exit_thres),
         "familiar": np.float32(familiar),
+        "err_trigger": np.float32(err_trigger),
     }
 
     def _gate_np(t, x, s, consts):
@@ -288,26 +330,36 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         trig = float(consts["trigger"])
         exitt = float(consts["exit_thres"])
         fam_floor = float(consts["familiar"])
+        err_trig = float(consts["err_trigger"])
         pos_est, pi_est = x[:d], x[d:2 * d]
-        recall, no_view = x[2 * d:3 * d], x[-1]
+        recall, err = x[2 * d:3 * d], x[3 * d:4 * d]
+        no_view = x[-1]
         in_view = abs(float(no_view)) < 1e-3
         dot = float(pos_est @ pi_est)
         agree = dot / (np.linalg.norm(pos_est)
                        * np.linalg.norm(pi_est) + 1e-9)
         conclusive = in_view and np.linalg.norm(recall) >= fam_floor
-        armed, ema, timer = float(s[0]), float(s[1]), float(s[2])
+        armed, ema, timer, err_ema = (float(s[0]), float(s[1]),
+                                      float(s[2]), float(s[3]))
         if conclusive:
             ema = (1 - alpha) * ema + alpha * agree
+            err_ema = ((1 - alpha_e) * err_ema
+                       + alpha_e * float(np.linalg.norm(err)))
+        else:
+            err_ema = (1 - alpha_e) * err_ema
         armed = max(armed, float(ema >= exitt))
         timer = max(timer - 1.0, 0.0)
-        if armed > 0 and ema < trig and timer <= 0 and conclusive:
+        if (armed > 0 and (ema < trig or err_ema > err_trig)
+                and timer <= 0 and conclusive):
             timer = R
+            err_ema = 0.0
         in_rec = timer > 0
         out = np.zeros(d + 1, np.float32)
+        rsr_eff = (sr + (rsr - sr) * timer / R) if recovery_decay else rsr
         if in_view and (dot > thr or in_rec):
-            out[:d] = (rsr if in_rec else sr) * (pos_est - pi_est)
+            out[:d] = (rsr_eff if in_rec else sr) * (pos_est - pi_est)
         out[d] = 10.0 if in_rec else 0.0
-        return out, np.array([armed, ema, timer], np.float32)
+        return out, np.array([armed, ema, timer, err_ema], np.float32)
 
     gate.np_function = _gate_np
     return gate
@@ -387,7 +439,7 @@ class SLAMNetwork(Network):
         if gate_mode == "auto_recovery":
             update_state_func = make_auto_recovery_gate_func(
                 update_thres, shift_rate, d, **(gate_kwargs or {}))
-            gate_in, gate_out = 3 * d + 1, d + 1
+            gate_in, gate_out = 4 * d + 1, d + 1
         else:
             assert gate_mode == "reference", gate_mode
             update_state_func = make_update_state_func(
@@ -500,6 +552,12 @@ class SLAMNetwork(Network):
                 # -0.1 into the Voja rule so its signal is 1 - 1 = 0.
                 Connection(self.assomemory.recall,
                            self.update_state[2 * d:3 * d], synapse=tau)
+                # the PES error population output is the map-divergence
+                # evidence channel: |recall - value| on familiar landmarks
+                # is the rate the live map is being dragged (see the gate
+                # docstring) — learning-rate-invariant kidnap signal
+                Connection(self.assomemory.error,
+                           self.update_state[3 * d:4 * d], synapse=tau)
                 Connection(self.update_state[d],
                            self.assomemory.error.neurons,
                            transform=-2.5 * np.ones((mem_n_neurons, 1)),
