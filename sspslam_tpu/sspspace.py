@@ -483,6 +483,59 @@ class SSPSpace:
             np.savez(path_name, **{f"p{i}": np.asarray(p) for i, p in enumerate(params)})
         return history
 
+    def load_keras_decoder_net(self, path):
+        """Load a decoder MLP trained by the REFERENCE implementation
+        (Keras ``.h5`` written by its ``train_decoder_net``, reference
+        sspspace.py:603-636) into ``decoder_params``.
+
+        The reference net is Dense(ssp_dim, relu) -> Dense(h, relu) ->
+        Dense(domain_dim): the same architecture this class trains with
+        optax, so the HDF5 kernels/biases drop straight into the
+        ``_mlp_apply`` parameter list.  Migration aid — artifacts trained
+        with the reference keep working (docs/MIGRATION.md)."""
+        import h5py
+
+        kernels, biases = [], []
+        with h5py.File(path, "r") as f:
+            root = f["model_weights"] if "model_weights" in f else f
+            names = root.attrs.get("layer_names")
+            layer_names = ([n.decode() if isinstance(n, bytes) else str(n)
+                            for n in names] if names is not None
+                           else list(root.keys()))
+
+            def collect(g):
+                ks, bs = [], []
+
+                def visit(_, obj):
+                    if isinstance(obj, h5py.Dataset):
+                        if "kernel" in obj.name.rsplit("/", 1)[-1]:
+                            ks.append(np.asarray(obj))
+                        elif "bias" in obj.name.rsplit("/", 1)[-1]:
+                            bs.append(np.asarray(obj))
+                g.visititems(visit)
+                return ks, bs
+
+            for name in layer_names:
+                if name not in root:
+                    continue
+                ks, bs = collect(root[name])
+                kernels.extend(ks)
+                biases.extend(bs)
+        if len(kernels) != 3 or len(biases) != 3:
+            raise ValueError(
+                f"{path}: expected 3 Dense layers (got {len(kernels)} "
+                f"kernels, {len(biases)} biases) — not a reference "
+                "decoder net")
+        if kernels[0].shape[0] != self.ssp_dim or \
+                kernels[2].shape[1] != self.domain_dim:
+            raise ValueError(
+                f"{path}: net maps {kernels[0].shape[0]} -> "
+                f"{kernels[2].shape[1]}, space is {self.ssp_dim} -> "
+                f"{self.domain_dim}")
+        self.decoder_params = [jnp.asarray(a, jnp.float32) for pair in
+                               zip(kernels, biases) for a in pair]
+        return self.decoder_params
+
 
 @jax.jit
 def _decode_from_set(sample_ssps, sample_points, unit_ssp):

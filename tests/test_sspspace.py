@@ -171,6 +171,52 @@ class TestDecoding:
         xhat2 = space2.decode(space.encode(x), method="network")
         assert np.allclose(xhat, xhat2, atol=1e-5)
 
+    def test_load_keras_decoder_net(self, tmp_path):
+        """Reference-trained Keras .h5 decoder nets load directly
+        (migration interop): write the reference's HDF5 layout (reference
+        sspspace.py:603-636 saves Dense(ssp_dim,relu)->Dense(h,relu)->
+        Dense(n)) and check the loaded params drive decode('network')."""
+        import h5py
+
+        bounds = np.array([[-1, 1], [-1, 1.0]])
+        space = HexagonalSSPSpace(2, ssp_dim=55, seed=0,
+                                  domain_bounds=bounds, length_scale=0.3)
+        d, h, n = space.ssp_dim, 8, 2
+        rng = np.random.default_rng(3)
+        layers = {
+            "layer1": (rng.normal(size=(d, d)).astype(np.float32),
+                       rng.normal(size=(d,)).astype(np.float32)),
+            "layer2": (rng.normal(size=(d, h)).astype(np.float32),
+                       rng.normal(size=(h,)).astype(np.float32)),
+            "output": (rng.normal(size=(h, n)).astype(np.float32),
+                       rng.normal(size=(n,)).astype(np.float32)),
+        }
+        path = str(tmp_path / "ref_decoder.h5")
+        with h5py.File(path, "w") as f:
+            mw = f.create_group("model_weights")
+            mw.attrs["layer_names"] = np.array(
+                [k.encode() for k in layers])
+            for name, (k, b) in layers.items():
+                g = mw.create_group(name).create_group(name)
+                g.create_dataset("kernel:0", data=k)
+                g.create_dataset("bias:0", data=b)
+        space.load_keras_decoder_net(path)
+        phi = space.encode(np.array([[0.2, -0.4]])).astype(np.float32)
+        got = space.decode(phi, method="network")
+        # hand-computed reference forward pass
+        z = phi
+        for name in ("layer1", "layer2"):
+            k, b = layers[name]
+            z = np.maximum(z @ k + b, 0.0)
+        want = z @ layers["output"][0] + layers["output"][1]
+        assert np.allclose(got, want, atol=1e-4)
+        # wrong-shape net is rejected
+        import pytest
+        other = HexagonalSSPSpace(2, ssp_dim=31, seed=0,
+                                  domain_bounds=bounds, length_scale=0.3)
+        with pytest.raises(ValueError):
+            other.load_keras_decoder_net(path)
+
 
 class TestSPSpace:
     def test_orthogonality_and_cleanup(self):
