@@ -228,7 +228,19 @@ def main():
             return vstep(c, x, params)
         return jax.lax.scan(body, state, xs, unroll=unroll)
 
+    def seg_fn_drop(state, xs, params):
+        # throughput-only mode: drop probe emissions at TRACE level so no
+        # (seg, B, d) output buffers exist in the compiled program at all
+        # (the same rule as bench.py's batched path — at scale the emit
+        # allocations churn the device allocator)
+        def body(c, x):
+            c2, _emits = vstep(c, x, params)
+            return c2, None
+        s2, _ = jax.lax.scan(body, state, xs, unroll=unroll)
+        return s2, None
+
     run_seg = jax.jit(seg_fn)
+    run_seg_drop = jax.jit(seg_fn_drop)
     params_dev = jax.device_put(sim.params)
 
     input_keys = [node_key[n] for n in sim.model.input_nodes]
@@ -257,7 +269,8 @@ def main():
                 break
             xs = episode_xs(done, hi, B_eff, tabs)
             t0 = time.time()
-            state, emits = run_seg(state, xs, params_dev)
+            state, emits = (run_seg if collect
+                            else run_seg_drop)(state, xs, params_dev)
             jax.block_until_ready(state["step"])
             el = time.time() - t0
             if done == 0:
