@@ -128,21 +128,31 @@ def main():
                     help="minimum mean recall magnitude for a tick to "
                          "count as evidence (unfamiliar landmarks give a "
                          "noise estimate, not a loss signal)")
-    ap.add_argument("--auto-err-trigger", type=float, default=0.75,
-                    help="map-divergence trigger: mean |PES error| on "
-                         "familiar landmarks above this enters recovery. "
-                         "This signal survives FAST learning rates: the "
-                         "agreement dip is erased within ~1/(lr*a*n) s of "
-                         "a kidnap by the map rewriting itself, but the "
-                         "error transient at the kidnap moment is "
-                         "learning-rate-invariant (|phi(x_true)-"
-                         "phi(x_wrong)| ~ sqrt(2) for a gross jump)")
-    ap.add_argument("--auto-err-ticks", type=int, default=1,
-                    help="consecutive conclusive ticks of map-divergence "
-                         "evidence required (the transient lasts ~1/(lr*"
-                         "a*n) s, so fewer ticks than the agreement rule)")
-    ap.add_argument("--auto-err-ema-tau", type=float, default=0.15,
-                    help="in-model map-divergence EMA time constant (s)")
+    ap.add_argument("--auto-cons-trigger", type=float, default=None,
+                    help="map-consistency trigger: EMA of cos(recall, "
+                         "value) over familiar-landmark steps below this "
+                         "enters recovery.  This signal survives FAST "
+                         "learning rates: the agreement dip is erased "
+                         "within ~1/(lr*a*n) s of a kidnap by the map "
+                         "rewriting itself, and raw |PES error| is non-"
+                         "discriminative (initial learning keeps it high "
+                         "for minutes) — but PES drags recall COLINEARLY "
+                         "toward the value, so cos(recall, value) ~ +1 "
+                         "both during learning and steady tracking, while "
+                         "a kidnap makes the value stream near-ORTHOGONAL "
+                         "to the learned recall (measured: pre-kidnap "
+                         "floor 0.79-0.85 vs post-kidnap EMA dips <0.5, "
+                         "seeds 0-2).  Default: 0.6 for the host tick "
+                         "monitor, 0.5 for the in-model dt-granular EMA")
+    ap.add_argument("--auto-cons-frac", type=float, default=0.2,
+                    help="minimum fraction of tick steps with a FAMILIAR "
+                         "landmark (|recall| >= --auto-familiar) for the "
+                         "consistency statistic to count as evidence")
+    ap.add_argument("--auto-cons-ema-tau", type=float, default=0.25,
+                    help="in-model map-consistency EMA time constant (s); "
+                         "the EMA HOLDS across inconclusive steps "
+                         "(relaxing between familiar encounters erases "
+                         "the dip — measured)")
     ap.add_argument("--auto-min-dwell", type=float, default=8.0,
                     help="minimum seconds in recovery mode before handback "
                          "(the VCO state converges with time constant "
@@ -157,6 +167,10 @@ def main():
                          "(default: the view radius)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests)")
+    ap.add_argument("--dump", type=str, default=None,
+                    help="save subsampled monitor-signal traces (est/"
+                         "recall/err/pi/in_view) to this npz for offline "
+                         "detector design")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -167,8 +181,8 @@ def main():
         print(f"NOTE: pes_lr={args.pes_lr:g} re-learns the map to match "
               "the wrong path integrator within ~1 s of a kidnap, erasing "
               "the agreement dip — detection in this regime rides the "
-              "map-divergence (PES error) channel, whose transient is "
-              "learning-rate-invariant (--auto-err-trigger).",
+              "map-consistency channel cos(recall, value), whose kidnap "
+              "signature is learning-rate-invariant (--auto-cons-trigger).",
               file=sys.stderr, flush=True)
 
     dt = 0.001
@@ -221,8 +235,9 @@ def main():
                   "familiar": args.auto_familiar,
                   "ema_tau": args.auto_ema_tau,
                   "recovery_T": args.recovery_window,
-                  "err_trigger": args.auto_err_trigger,
-                  "err_ema_tau": args.auto_err_ema_tau}
+                  "cons_trigger": (0.5 if args.auto_cons_trigger is None
+                                   else args.auto_cons_trigger),
+                  "cons_ema_tau": args.auto_cons_ema_tau}
         slam = SLAMNetwork(
             space, lm_space, args.view_rad, args.n_landmarks,
             args.pi_n_neurons, args.mem_n_neurons, args.circonv_n_neurons,
@@ -321,7 +336,23 @@ def main():
     if args.in_model:
         # the controller lives in the carry: one straight simulation,
         # zero host decisions
-        sim.run_steps(n_steps)
+        if args.auto_debug:
+            # chunked stepping purely to READ the controller state at
+            # tick granularity (the state lives in the carry either way)
+            tick = max(1, int(args.tick_s / dt))
+            (slot,) = sim.state["nodes"]
+            done = 0
+            while done < n_steps:
+                n = min(tick, n_steps - done)
+                sim.run_steps(n)
+                done += n
+                armed, ema, timer, cons_ema = np.asarray(
+                    sim.state["nodes"][slot])
+                print(f"  [state] t={done * dt:6.1f}s armed={armed:.0f} "
+                      f"ema={ema:+.2f} timer={timer * dt:5.1f}s "
+                      f"cons={cons_ema:+.2f}", flush=True)
+        else:
+            sim.run_steps(n_steps)
     elif not args.auto:
         # scripted schedule: the experimenter knows the kidnap time
         sim.run_steps(k_step)                   # phase A: both gates strict
@@ -347,8 +378,10 @@ def main():
         tick = max(1, int(args.tick_s / dt))
         min_dwell = max(1, int(args.auto_min_dwell / args.tick_s))
         armed, mode = False, "normal"
-        low, high, dwell, err_high = 0, 0, 0, 0
-        ema = None
+        low, high, dwell = 0, 0, 0
+        ema, cons_ema = None, None
+        cons_trig = (0.6 if args.auto_cons_trigger is None
+                     else args.auto_cons_trigger)
         events = []
         done = 0
         while done < n_steps:
@@ -380,15 +413,29 @@ def main():
             # above floor) — new-landmark encounters during mapping
             # otherwise read as tracking loss (measured: 6-15 false
             # triggers per 100 s without this)
-            rec = tick_rows(rec_bp)[rows]
-            familiar = float(np.mean(np.linalg.norm(rec, axis=1)))
+            rec_all = tick_rows(rec_bp)
+            rn = np.linalg.norm(rec_all, axis=1)
+            rec = rec_all[rows]
+            familiar = float(np.mean(rn[rows]))
             est = tick_rows(est_bp)[rows]
             pi = tick_rows(api_bp)[rows]
-            # map-divergence evidence: mean |PES error| over in-view rows
-            # (the rate the live map is being dragged; the signal that
-            # survives fast learning — see --auto-err-trigger)
-            err_rows = tick_rows(err_bp)[rows]
-            err_mag = float(np.mean(np.linalg.norm(err_rows, axis=1)))
+            # map-consistency evidence: cos(recall, value) over steps with
+            # a FAMILIAR landmark (value = recall - err, the PES error
+            # population's two inputs; the signal that survives fast
+            # learning — see --auto-cons-trigger)
+            err_all = tick_rows(err_bp)
+            fam_rows = rows & (rn >= args.auto_familiar)
+            cons_tick = float(fam_rows.mean()) >= args.auto_cons_frac
+            cons = None
+            if cons_tick:
+                r_f = rec_all[fam_rows]
+                v_f = r_f - err_all[fam_rows]
+                cons = float(np.mean(
+                    np.sum(r_f * v_f, axis=1)
+                    / (np.linalg.norm(r_f, axis=1)
+                       * np.linalg.norm(v_f, axis=1) + 1e-9)))
+                cons_ema = (cons if cons_ema is None
+                            else 0.5 * cons_ema + 0.5 * cons)
             agree = float(np.mean(
                 np.sum(est * pi, axis=1)
                 / (np.linalg.norm(est, axis=1)
@@ -396,32 +443,43 @@ def main():
             if args.auto_debug:
                 print(f"  [tick] t={t_now:6.1f}s inview={rows.mean():.2f} "
                       f"recall|={familiar:.3f} agree={agree:+.2f} "
-                      f"err|={err_mag:.3f} mode={mode}", flush=True)
-            if familiar < args.auto_familiar:
-                continue
-            ema = agree if ema is None else 0.5 * ema + 0.5 * agree
+                      f"cons={'n/a' if cons is None else f'{cons:+.2f}'} "
+                      f"mode={mode}", flush=True)
+            # the agreement channel is conclusive only when the MEAN
+            # recall magnitude clears the familiarity floor (its original
+            # semantics); the consistency channel has its own per-step
+            # masked conclusiveness above.  Counters HOLD on ticks where
+            # their channel is inconclusive.
+            fam_tick = familiar >= args.auto_familiar
             if mode == "normal":
-                if ema >= args.auto_exit:
-                    armed = True
-                low = low + 1 if (armed and ema < args.auto_trigger) else 0
-                err_high = (err_high + 1
-                            if (armed and err_mag > args.auto_err_trigger)
-                            else 0)
-                if low >= args.auto_ticks or err_high >= args.auto_err_ticks:
-                    why = ("map divergence" if err_high >= args.auto_err_ticks
-                           else "agreement")
-                    mode, low, err_high, dwell = "recovery", 0, 0, 0
+                if fam_tick:
+                    ema = agree if ema is None else 0.5 * ema + 0.5 * agree
+                    if ema >= args.auto_exit:
+                        armed = True
+                    low = (low + 1
+                           if (armed and ema < args.auto_trigger) else 0)
+                cons_low = (armed and cons_tick and cons_ema is not None
+                            and cons_ema < cons_trig)
+                if low >= args.auto_ticks or cons_low:
+                    why = "map inconsistency" if cons_low else "agreement"
+                    mode, low, dwell = "recovery", 0, 0
+                    cons_ema = None   # stale evidence must not re-trigger
                     enter_recovery()
                     events.append({"t": round(t_now, 2),
                                    "event": "enter_recovery", "why": why})
                     print(f"  [auto] t={t_now:.1f}s tracking loss "
-                          f"({why}: agreement {ema:.2f}, err {err_mag:.2f})"
+                          f"({why}: agreement "
+                          f"{'n/a' if ema is None else f'{ema:.2f}'}, cons "
+                          f"{'n/a' if cons is None else f'{cons:.2f}'})"
                           " -> recovery mode", flush=True)
             else:
+                if not fam_tick:
+                    continue
+                ema = agree if ema is None else 0.5 * ema + 0.5 * agree
                 dwell += 1
                 high = high + 1 if ema >= args.auto_exit else 0
                 if high >= args.auto_ticks and dwell >= min_dwell:
-                    mode, high, err_high = "normal", 0, 0
+                    mode, high = "normal", 0
                     exit_recovery()
                     events.append({"t": round(t_now, 2),
                                    "event": "exit_recovery"})
@@ -446,6 +504,23 @@ def main():
     el = time.time() - t0
     print(f"sim: {el:.2f}s ({n_steps / el:.0f} steps/s, three models in "
           "one program)", flush=True)
+
+    if args.dump:
+        # raw monitor-signal traces (subsampled) for offline detector
+        # design: rerunning the sim costs minutes, slicing an npz doesn't
+        sk = 5
+        np.savez_compressed(
+            args.dump,
+            est=np.asarray(sim.data[est_probe])[::sk].astype(np.float32),
+            recall=np.asarray(sim.data[recall_probe])[::sk].astype(np.float32),
+            err=np.asarray(sim.data[err_probe])[::sk].astype(np.float32),
+            pi=np.asarray(sim.data[probes["adaptive"]])[::sk].astype(np.float32),
+            in_view=in_view_row[::sk] if args.auto else
+            (np.linalg.norm(vec_to_landmarks, axis=2).min(axis=1)
+             <= args.view_rad)[::sk],
+            path=path[::sk].astype(np.float32), skip=sk, dt=dt,
+            k_step=k_step)
+        print(f"dumped monitor traces to {args.dump}", flush=True)
 
     if args.in_model:
         # reconstruct the controller's decisions from its own suppress

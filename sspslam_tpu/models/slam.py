@@ -207,14 +207,14 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
                                  recovery_shift_rate=0.3, trigger=0.2,
                                  exit_thres=0.6, familiar=0.25,
                                  ema_tau=0.5, recovery_T=25.0,
-                                 arm_at_start=False, err_trigger=0.75,
-                                 err_ema_tau=0.15, recovery_decay=True):
+                                 arm_at_start=False, cons_trigger=0.5,
+                                 cons_ema_tau=0.25, recovery_decay=True):
     """Self-healing correction gate (no reference counterpart).
 
     Extends the reference gate (slam.py:233-237) with an IN-MODEL
     tracking-loss controller, runnable entirely inside the compiled step
     via a stateful node (state = [armed, agreement_ema, recovery_timer,
-    err_ema]):
+    cons_ema]):
 
     * arm once the smoothed agreement cos(estimate, PI) first exceeds
       ``exit_thres`` (before the map is learned, low agreement is normal);
@@ -223,19 +223,26 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
       landmarks give a noise estimate, not a loss signal;
     * trigger on EITHER of two loss signals while armed:
       (a) sustained low agreement (EMA < ``trigger``) — the slow signal;
-      (b) **map-divergence**: a fast EMA (``err_ema_tau``) of the PES
-      error magnitude |recall - value| on FAMILIAR landmarks exceeding
-      ``err_trigger``.  The PES decoder velocity is lr * error x
-      activity, so this is exactly the rate at which the live map is
-      being dragged away from its slow-timescale self — a map rewriting
-      wholesale is being dragged by a wrong pose.  Unlike the agreement
-      signal, which a fast learning rate ERASES within ~1/(lr * a * n)
-      seconds of a kidnap by rewriting the map to match the wrong PI
-      (measured: undetectable at pes_lr=2e-2, VALIDATION.md), the error
-      transient at the kidnap moment is learning-rate-invariant (it is
-      |phi(x_true) - phi(x_wrong)| ~ sqrt(2) for a gross displacement,
-      vs ~0 in steady tracking), so the fast EMA catches it before the
-      rewrite completes;
+      (b) **map inconsistency**: an EMA (``cons_ema_tau``, held across
+      inconclusive steps) of cos(recall, value) on FAMILIAR landmarks
+      falling below ``cons_trigger``.  ``value`` is the incoming bound
+      landmark-location SSP (recovered as recall - err from the PES
+      error population the gate already reads).  The geometry makes
+      this the signal that survives FAST learning rates: PES drags the
+      recall COLINEARLY toward the value, so during initial learning
+      of a landmark cos(recall, value) ~ +1 even while |err| is large,
+      and in steady tracking recall ~ value so it is ~ +1 again — but
+      after a kidnap the value stream binds the true relative vector to
+      a wrong self-estimate, giving value ~ phi(l + x_wrong - x_true),
+      near-ORTHOGONAL to the learned recall phi(l) for displacements
+      beyond the kernel width.  The agreement signal, by contrast, is
+      ERASED within ~1/(lr * a * n) seconds of a kidnap by the map
+      rewriting itself to match the wrong PI (measured: undetectable at
+      pes_lr=2e-2), and the raw |err| magnitude is non-discriminative
+      (measured pre/post tick means 0.61 vs 0.65 — initial learning
+      keeps it high for minutes); cos(recall, value) separates cleanly
+      (measured pre-kidnap floor 0.76-0.82 vs post-kidnap dips to
+      0.27-0.44 across seeds 0-2, VALIDATION.md);
     * on trigger, enter recovery for ``recovery_T`` seconds: corrections
       always applied at ``recovery_shift_rate``, and map learning
       suppressed through the extra ``suppress`` output channel (a wrong
@@ -261,7 +268,7 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
     All thresholds/rates are hoisted traced params.
     """
     alpha = float(dt / ema_tau)
-    alpha_e = float(dt / err_ema_tau)
+    alpha_c = float(dt / cons_ema_tau)
     R = float(recovery_T / dt)
 
     def gate(t, x, s, consts):
@@ -271,7 +278,7 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         trig = consts["trigger"]
         exitt = consts["exit_thres"]
         fam_floor = consts["familiar"]
-        err_trig = consts["err_trigger"]
+        cons_trig = consts["cons_trigger"]
         pos_est, pi_est = x[:d], x[d:2 * d]
         recall, err = x[2 * d:3 * d], x[3 * d:4 * d]
         no_view = x[-1]
@@ -282,22 +289,27 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         conclusive = in_view & (jnp.linalg.norm(recall) >= fam_floor)
         ema = jnp.where(conclusive, (1 - alpha) * s[1] + alpha * agree,
                         s[1])
-        # map-divergence evidence decays when inconclusive (out of view /
-        # unfamiliar) instead of holding: the error transient is brief and
-        # must not linger as stale evidence
-        err_mag = jnp.linalg.norm(err)
-        err_ema = jnp.where(conclusive,
-                            (1 - alpha_e) * s[3] + alpha_e * err_mag,
-                            (1 - alpha_e) * s[3])
+        # map-consistency evidence HOLDS across inconclusive steps (out of
+        # view / unfamiliar): the statistic is only defined on familiar
+        # encounters, and relaxing between them erases the dip before the
+        # next encounter confirms it (measured — relax-to-1 never reaches
+        # the trigger at any tau)
+        value = recall - err
+        cons = (jnp.sum(recall * value)
+                / (jnp.linalg.norm(recall) * jnp.linalg.norm(value) + 1e-9))
+        cons_ema = jnp.where(conclusive,
+                             (1 - alpha_c) * s[3] + alpha_c * cons, s[3])
         armed = jnp.maximum(s[0], (ema >= exitt).astype(jnp.float32))
         timer = jnp.maximum(s[2] - 1.0, 0.0)
-        lost = (ema < trig) | (err_ema > err_trig)
+        lost = (ema < trig) | (cons_ema < cons_trig)
         trigger_now = (armed > 0) & lost & (timer <= 0) & conclusive
         timer = jnp.where(trigger_now, R, timer)
         in_rec = timer > 0
-        # entering recovery resets the divergence evidence: learning is
-        # suppressed inside, so whatever err remains is not new evidence
-        err_ema = jnp.where(trigger_now, 0.0, err_ema)
+        # entering recovery resets the consistency evidence: learning is
+        # suppressed inside (the error population is inhibited, so
+        # value-as-recall-minus-err degenerates) and whatever evidence
+        # remains is not new
+        cons_ema = jnp.where(trigger_now, 1.0, cons_ema)
         gate_ok = in_view & ((dot > thr) | in_rec)
         rsr_eff = (sr + (rsr - sr) * timer / R) if recovery_decay else rsr
         corr = jnp.where(gate_ok,
@@ -306,14 +318,14 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
                          jnp.zeros(d, jnp.float32))
         suppress = jnp.where(in_rec, 10.0, 0.0)
         out = jnp.concatenate([corr, suppress[None]])
-        return out, jnp.stack([armed, ema, timer, err_ema])
+        return out, jnp.stack([armed, ema, timer, cons_ema])
 
     # trusted-map / localization mode: a pre-learned map was injected and
     # the agent may start outside its coverage, so waiting for tracking to
     # be established first (the arming latch) would lock the gate out —
     # start armed instead
     gate.state_init = np.array(
-        [1.0 if arm_at_start else 0.0, 0.0, 0.0, 0.0], np.float32)
+        [1.0 if arm_at_start else 0.0, 0.0, 0.0, 1.0], np.float32)
     gate.hoisted_consts = {
         "update_thres": np.float32(update_thres),
         "shift_rate": np.float32(shift_rate),
@@ -321,7 +333,7 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         "trigger": np.float32(trigger),
         "exit_thres": np.float32(exit_thres),
         "familiar": np.float32(familiar),
-        "err_trigger": np.float32(err_trigger),
+        "cons_trigger": np.float32(cons_trigger),
     }
 
     def _gate_np(t, x, s, consts):
@@ -330,7 +342,7 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         trig = float(consts["trigger"])
         exitt = float(consts["exit_thres"])
         fam_floor = float(consts["familiar"])
-        err_trig = float(consts["err_trigger"])
+        cons_trig = float(consts["cons_trigger"])
         pos_est, pi_est = x[:d], x[d:2 * d]
         recall, err = x[2 * d:3 * d], x[3 * d:4 * d]
         no_view = x[-1]
@@ -339,27 +351,27 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         agree = dot / (np.linalg.norm(pos_est)
                        * np.linalg.norm(pi_est) + 1e-9)
         conclusive = in_view and np.linalg.norm(recall) >= fam_floor
-        armed, ema, timer, err_ema = (float(s[0]), float(s[1]),
-                                      float(s[2]), float(s[3]))
+        armed, ema, timer, cons_ema = (float(s[0]), float(s[1]),
+                                       float(s[2]), float(s[3]))
         if conclusive:
             ema = (1 - alpha) * ema + alpha * agree
-            err_ema = ((1 - alpha_e) * err_ema
-                       + alpha_e * float(np.linalg.norm(err)))
-        else:
-            err_ema = (1 - alpha_e) * err_ema
+            value = recall - err
+            cons = float(recall @ value) / float(
+                np.linalg.norm(recall) * np.linalg.norm(value) + 1e-9)
+            cons_ema = (1 - alpha_c) * cons_ema + alpha_c * cons
         armed = max(armed, float(ema >= exitt))
         timer = max(timer - 1.0, 0.0)
-        if (armed > 0 and (ema < trig or err_ema > err_trig)
+        if (armed > 0 and (ema < trig or cons_ema < cons_trig)
                 and timer <= 0 and conclusive):
             timer = R
-            err_ema = 0.0
+            cons_ema = 1.0
         in_rec = timer > 0
         out = np.zeros(d + 1, np.float32)
         rsr_eff = (sr + (rsr - sr) * timer / R) if recovery_decay else rsr
         if in_view and (dot > thr or in_rec):
             out[:d] = (rsr_eff if in_rec else sr) * (pos_est - pi_est)
         out[d] = 10.0 if in_rec else 0.0
-        return out, np.array([armed, ema, timer, err_ema], np.float32)
+        return out, np.array([armed, ema, timer, cons_ema], np.float32)
 
     gate.np_function = _gate_np
     return gate
@@ -532,11 +544,23 @@ class SLAMNetwork(Network):
             Connection(self.assomemory.recall, self.position_estimate.input_b,
                        synapse=tau, function=mk_unitary)
 
-            # gated correction into the path integrator
+            # gated correction into the path integrator.  The auto gate's
+            # loss statistics (agreement + map consistency) were validated
+            # against 50 ms-filtered signals (the host tick monitor's
+            # probes); at this model's control tau=0.01 the per-step
+            # decodes are ~5x noisier and cos(recall, value) sits 0.3-0.4
+            # LOWER (decode noise inflates the norms and decorrelates the
+            # vectors — measured: live cons EMA 0.33-0.70 in healthy
+            # phase-A tracking vs 0.81+ on the same run's 50 ms probes),
+            # so the controller false-triggers right after arming.  Feed
+            # the gate through a dedicated evidence synapse instead; the
+            # extra ~40 ms of lag is negligible against the 25 s recovery
+            # window and the EMA time constants.
+            ev_tau = max(tau, 0.05) if gate_mode == "auto_recovery" else tau
             Connection(self.position_estimate.output, self.update_state[:d],
-                       synapse=tau)
+                       synapse=ev_tau)
             Connection(self.pathintegrator.output,
-                       self.update_state[d:2 * d], synapse=tau)
+                       self.update_state[d:2 * d], synapse=ev_tau)
             if gate_mode == "auto_recovery":
                 # the controller's extra inputs/outputs: raw recall
                 # magnitude is the landmark-familiarity evidence, and the
@@ -551,13 +575,13 @@ class SLAMNetwork(Network):
                 # inhibition the in-view signal applies, freezing PES) and
                 # -0.1 into the Voja rule so its signal is 1 - 1 = 0.
                 Connection(self.assomemory.recall,
-                           self.update_state[2 * d:3 * d], synapse=tau)
+                           self.update_state[2 * d:3 * d], synapse=ev_tau)
                 # the PES error population output is the map-divergence
                 # evidence channel: |recall - value| on familiar landmarks
                 # is the rate the live map is being dragged (see the gate
                 # docstring) — learning-rate-invariant kidnap signal
                 Connection(self.assomemory.error,
-                           self.update_state[3 * d:4 * d], synapse=tau)
+                           self.update_state[3 * d:4 * d], synapse=ev_tau)
                 Connection(self.update_state[d],
                            self.assomemory.error.neurons,
                            transform=-2.5 * np.ones((mem_n_neurons, 1)),

@@ -309,8 +309,8 @@ class TestFullSLAMCrossCheck:
         sim = Simulator(net, seed=seed)
         sim.run_steps(int(T / dt))
         (slot,) = sim.state["nodes"]
-        armed, ema, timer, err_ema = np.asarray(sim.state["nodes"][slot])
-        assert timer >= 0 and np.isfinite(ema) and err_ema >= 0
+        armed, ema, timer, cons_ema = np.asarray(sim.state["nodes"][slot])
+        assert timer >= 0 and np.isfinite(ema) and -1.01 <= cons_ema <= 1.01
 
     def test_np_mirrors_registered(self):
         """The SLAM model's jnp node functions all carry host mirrors."""
