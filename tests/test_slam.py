@@ -369,3 +369,138 @@ class TestAdapterDegenerateWorld:
             space, lm_space, vels, vec, 0.8)
         assert np.isfinite(scale) and scale == 1.0
         assert np.all(np.isfinite(np.asarray(vf(0.01))))
+
+
+class TestAutoRecoveryGateUnit:
+    """Direct unit tests of make_auto_recovery_gate_func (models/slam.py) —
+    the pure stateful-node function behind gate_mode='auto_recovery'.
+    Covers the two round-4 behaviors the network-level tests don't pin:
+    the map-consistency trigger (the channel that survives fast learning,
+    VALIDATION.md kidnap tables) and the decaying recovery shift schedule
+    (the fix for the armed-gate precision gap, VALIDATION.md map-merge)."""
+
+    d = 6
+
+    def _gate(self, **kw):
+        from sspslam_tpu.models.slam import make_auto_recovery_gate_func
+        g = make_auto_recovery_gate_func(
+            update_thres=0.4, shift_rate=0.1, d=self.d, dt=0.001,
+            recovery_shift_rate=0.3, recovery_T=0.2, **kw)
+        return g, {k: np.float32(v) for k, v in g.hoisted_consts.items()}
+
+    def _x(self, pos, pi, recall, value, in_view=True):
+        err = recall - value
+        return np.concatenate(
+            [pos, pi, recall, err,
+             np.array([0.0 if in_view else 1.0])]).astype(np.float32)
+
+    def _basis(self, i):
+        e = np.zeros(self.d, np.float32)
+        e[i] = 1.0
+        return e
+
+    def test_consistency_trigger_fires_on_orthogonal_value(self):
+        """A familiar landmark whose incoming bound value is orthogonal to
+        the stored recall (the kidnap signature) must trigger recovery even
+        while agreement stays perfect; a collinear value (initial learning /
+        steady tracking) must never trigger."""
+        import jax.numpy as jnp
+        gate, consts = self._gate(arm_at_start=True)
+        pos = self._basis(0)
+        recall = self._basis(1)
+        # tracking healthy: pos_est == pi_est -> agreement 1
+        x_orth = jnp.asarray(self._x(pos, pos, recall, self._basis(2)))
+        x_coll = jnp.asarray(self._x(pos, pos, recall, 0.5 * recall))
+        for x, should_fire in ((x_coll, False), (x_orth, True)):
+            s = jnp.asarray([1.0, 1.0, 0.0, 1.0], jnp.float32)
+            fired = False
+            for _ in range(2000):
+                out, s = gate(0.0, x, s, consts)
+                if float(out[self.d]) > 0:
+                    fired = True
+                    break
+            assert fired == should_fire, (should_fire, np.asarray(s))
+
+    def test_recovery_shift_decays_linearly_to_steady_state(self):
+        """With recovery_decay (default) the correction rate ramps from
+        recovery_shift_rate down to shift_rate over the window; without it
+        the window holds the full rate throughout."""
+        import jax.numpy as jnp
+
+        def run(decay):
+            gate, consts = self._gate(arm_at_start=True,
+                                      recovery_decay=decay)
+            pos, pi = self._basis(0), self._basis(1)   # dot=0 < thr
+            recall = self._basis(1)
+            x_trig = jnp.asarray(self._x(pos, pi, recall, self._basis(2)))
+            x_hold = jnp.asarray(self._x(pos, pi, recall, 0.7 * recall))
+            s = jnp.asarray([1.0, 1.0, 0.0, 1.0], jnp.float32)
+            norms = []
+            for _ in range(2000):
+                out, s = gate(0.0, x_trig if float(s[2]) == 0 else x_hold,
+                              s, consts)
+                if float(s[2]) > 0:
+                    norms.append(float(jnp.linalg.norm(out[:self.d])))
+                    if float(s[2]) <= 1:
+                        break
+            return np.array(norms)
+
+        base = float(np.linalg.norm(self._basis(0) - self._basis(1)))
+        dec = run(True)
+        # first recovery step runs at the full recovery rate ...
+        assert dec[0] == pytest.approx(0.3 * base, rel=1e-3)
+        # ... and the ramp is linear down to the steady-state rate
+        assert dec[-1] == pytest.approx(0.1 * base, rel=2e-2)
+        mid = dec[len(dec) // 2]
+        assert mid == pytest.approx(0.2 * base, rel=5e-2)
+        assert np.all(np.diff(dec) <= 1e-7)
+        flat = run(False)
+        assert flat[0] == pytest.approx(0.3 * base, rel=1e-3)
+        assert flat[-1] == pytest.approx(0.3 * base, rel=1e-3)
+
+    def test_consistency_evidence_holds_across_inconclusive_steps(self):
+        """Out-of-view / unfamiliar steps must neither build nor erase the
+        consistency evidence: the EMA is only defined on familiar
+        encounters, and relaxing between them would erase a dip before the
+        next encounter confirms it (measured design rule, VALIDATION.md)."""
+        import jax.numpy as jnp
+        gate, consts = self._gate(arm_at_start=True)
+        pos = self._basis(0)
+        recall = self._basis(1)
+        x_orth = jnp.asarray(self._x(pos, pos, recall, self._basis(2)))
+        x_blind = jnp.asarray(self._x(pos, pos, recall, self._basis(2),
+                                      in_view=False))
+        x_unfam = jnp.asarray(self._x(pos, pos, 0.01 * recall,
+                                      self._basis(2)))
+        s = jnp.asarray([1.0, 1.0, 0.0, 1.0], jnp.float32)
+        for _ in range(100):            # accumulate a partial dip
+            out, s = gate(0.0, x_orth, s, consts)
+        assert float(out[self.d]) == 0.0    # not yet triggered
+        dip = float(s[3])
+        assert dip < 1.0
+        for x in (x_blind, x_unfam):    # inconclusive: evidence held
+            for _ in range(500):
+                out, s = gate(0.0, x, s, consts)
+            assert float(s[3]) == pytest.approx(dip, abs=1e-6)
+            assert float(out[self.d]) == 0.0
+
+    def test_np_mirror_matches_jit_path(self):
+        """The NumPy interpreter mirror must step the gate identically to
+        the traced function across a mixed random input sequence."""
+        import jax.numpy as jnp
+        gate, consts = self._gate(arm_at_start=False)
+        rng = np.random.default_rng(7)
+        s_j = jnp.asarray(gate.state_init)
+        s_n = np.asarray(gate.state_init).copy()
+        for i in range(400):
+            pos = rng.normal(size=self.d).astype(np.float32)
+            pi = (pos + 0.3 * rng.normal(size=self.d)).astype(np.float32)
+            recall = rng.normal(size=self.d).astype(np.float32)
+            value = rng.normal(size=self.d).astype(np.float32)
+            x = self._x(pos, pi, recall, value, in_view=(i % 3 != 0))
+            out_j, s_j = gate(0.0, jnp.asarray(x), s_j, consts)
+            out_n, s_n = gate.np_function(0.0, x, s_n, consts)
+            np.testing.assert_allclose(np.asarray(out_j), out_n,
+                                       rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(s_j), s_n,
+                                       rtol=1e-5, atol=1e-6)
