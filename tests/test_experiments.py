@@ -332,3 +332,58 @@ class TestAnalysisProbesSmoke:
             "--segment-steps", "100", "--reps", "1", "--f32-only"],
             timeout=600)
         assert "MFLOP/step" in out
+
+
+class TestScaledSlamSmoke:
+    def test_tiny_cpu(self):
+        """Config-5 protocol mechanics at toy scale: multi-seed vmapped
+        episodes + PI control in one program, per-seed decoded error,
+        aggregate throughput JSON (the reference-scale result is in
+        VALIDATION.md 'Scaled sweep')."""
+        import json
+        out = run_script("scaled_slam.py", [
+            "--cpu", "--T", "1.2", "--domain-dim", "2", "--ssp-dim", "31",
+            "--pi-n-neurons", "80", "--mem-n-neurons", "120",
+            "--circonv-n-neurons", "30", "--n-landmarks", "6",
+            "--view-rad", "0.6", "--limit", "2.0", "--seeds", "0,1",
+            "--segment-steps", "300", "--cleanup-samples", "6",
+            "--decode-grid", "8"], timeout=900)
+        line = json.loads(out.strip().splitlines()[-1])
+        assert line["unit"] == "steps/s" and line["value"] > 0
+        assert len(line["per_seed"]) == 2
+        for entry in line["per_seed"]:
+            assert np.isfinite(entry["slam"]["median_err"])
+            assert np.isfinite(entry["pi_only"]["median_err"])
+
+    def test_dp_sweep_cpu(self):
+        """--dp-sweep: throughput-only mode (probe emits dropped at trace
+        level) reports one row per B."""
+        import json
+        out = run_script("scaled_slam.py", [
+            "--cpu", "--T", "1.2", "--domain-dim", "2", "--ssp-dim", "31",
+            "--pi-n-neurons", "80", "--mem-n-neurons", "120",
+            "--circonv-n-neurons", "30", "--n-landmarks", "6",
+            "--view-rad", "0.6", "--limit", "2.0", "--seeds", "0",
+            "--segment-steps", "300", "--cleanup-samples", "6",
+            "--no-pi-control", "--dp-sweep", "1,2"], timeout=900)
+        line = json.loads(out.strip().splitlines()[-1])
+        assert [r["B"] for r in line["dp_sweep"]] == [1, 2]
+        assert all(r["agg_steps_per_s"] > 0 for r in line["dp_sweep"])
+
+
+class TestLiveMergeSmoke:
+    def test_tiny_cpu(self):
+        """Two vmapped agents with periodic in-sim map exchange: both the
+        exchange and no-exchange arms run, and the JSON carries crossover
+        metrics per agent."""
+        import json
+        out = run_script("live_merge.py", [
+            "--cpu", "--T", "3", "--exchange-s", "0.5", "--ssp-dim", "31",
+            "--n-landmarks", "6", "--view-rad", "0.6",
+            "--pi-n-neurons", "80", "--mem-n-neurons", "120",
+            "--circonv-n-neurons", "30", "--limit", "2.0"], timeout=900)
+        line = json.loads(out.strip().splitlines()[-1])
+        for arm in ("exchange", "no_exchange"):
+            for agent in ("agent_A", "agent_B"):
+                assert np.isfinite(
+                    line["results"][arm][agent]["cross_median"])
