@@ -162,6 +162,13 @@ def main():
     ap.add_argument("--min-jump", type=float, default=0.8,
                     help="minimum teleport distance (phase-B seeds are "
                          "scanned until the jump is at least this far)")
+    ap.add_argument("--target-jump", type=float, default=None,
+                    help="pick the phase-B candidate whose teleport "
+                         "distance is CLOSEST to this value instead of the "
+                         "farthest >= --min-jump (for sweeping detection "
+                         "vs jump size; the path stays in-arena, so the "
+                         "achievable jump is quantised by the candidate "
+                         "pool — the JSON reports the actual distance)")
     ap.add_argument("--recovered-below", type=float, default=None,
                     help="recovery threshold on decoded distance error "
                          "(default: the view radius)")
@@ -203,6 +210,11 @@ def main():
         cand = make_phase(T - args.kidnap_frac * T, dt, args.limit,
                           args.seed + 1000 + i, radius)[:n_steps - k_step]
         j = float(np.linalg.norm(cand[0] - path_a[-1]))
+        if args.target_jump is not None:
+            if jump < 0 or abs(j - args.target_jump) < abs(
+                    jump - args.target_jump):
+                path_b, jump = cand, j
+            continue
         if j > jump:
             path_b, jump = cand, j
         if j >= args.min_jump:
