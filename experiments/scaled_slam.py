@@ -223,16 +223,26 @@ def main():
     seg = min(args.segment_steps, n_steps)
     unroll = max(1, min(args.scan_unroll, seg))
 
-    def seg_fn(state, xs, params):
+    # Device-resident input tables (the flagship bench's zero-upload rule,
+    # VALIDATION "Throughput": the wall/device gap was per-segment input
+    # transfer).  The full time-major (n_steps, B, size) table per input
+    # node is uploaded ONCE; each segment slices it ON DEVICE with a
+    # traced start offset, so one executable serves every offset and the
+    # timed loop moves no input bytes over the host link.
+    def seg_fn(state, tables, start, params):
+        xs = [jax.lax.dynamic_slice_in_dim(t, start, seg, axis=0)
+              for t in tables]
         def body(c, x):
             return vstep(c, x, params)
         return jax.lax.scan(body, state, xs, unroll=unroll)
 
-    def seg_fn_drop(state, xs, params):
+    def seg_fn_drop(state, tables, start, params):
         # throughput-only mode: drop probe emissions at TRACE level so no
         # (seg, B, d) output buffers exist in the compiled program at all
         # (the same rule as bench.py's batched path — at scale the emit
         # allocations churn the device allocator)
+        xs = [jax.lax.dynamic_slice_in_dim(t, start, seg, axis=0)
+              for t in tables]
         def body(c, x):
             c2, _emits = vstep(c, x, params)
             return c2, None
@@ -246,19 +256,17 @@ def main():
     input_keys = [node_key[n] for n in sim.model.input_nodes]
     per = max(1, int(round(args.probe_every / dt)))
 
-    def episode_xs(lo, hi, B_eff, tabs):
-        """Time-major (seg, B, size) blocks for steps [lo, hi)."""
-        out = []
-        for k in input_keys:
-            block = np.stack([t[k][lo:hi] for t in tabs], axis=1)
-            out.append(jnp.asarray(block))
-        return out
-
     def run_episodes(tabs, total_steps, collect=True):
         B_eff = len(tabs)
         state = jax.tree_util.tree_map(
             lambda x: np.broadcast_to(
                 np.asarray(x), (B_eff,) + np.shape(x)).copy(), sim.state)
+        t0 = time.time()
+        tables_dev = [
+            jnp.asarray(np.stack([t[k][:total_steps] for t in tabs], axis=1))
+            for k in input_keys]
+        jax.block_until_ready(tables_dev)
+        upload_s = time.time() - t0
         kept = {slam_p: [], pi_p: []} if collect else None
         # compile/warm on the first segment, then time the rest
         t_compile = t_run = 0.0
@@ -267,14 +275,15 @@ def main():
             hi = min(done + seg, total_steps)
             if hi - done < seg:     # tail: pad by clamping (skip timing)
                 break
-            xs = episode_xs(done, hi, B_eff, tabs)
             t0 = time.time()
-            state, emits = (run_seg if collect
-                            else run_seg_drop)(state, xs, params_dev)
+            state, emits = (run_seg if collect else run_seg_drop)(
+                state, tables_dev, jnp.int32(done), params_dev)
             jax.block_until_ready(state["step"])
             el = time.time() - t0
             if done == 0:
                 t_compile = el
+                print(f"  tables uploaded once ({upload_s:.2f}s); "
+                      f"compile+warm {el:.1f}s", flush=True)
             else:
                 t_run += el
             if collect:
