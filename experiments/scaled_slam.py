@@ -108,7 +108,11 @@ def main():
     ap.add_argument("--decode-grid", type=int, default=30)
     ap.add_argument("--segment-steps", type=int, default=5000)
     ap.add_argument("--probe-every", type=float, default=0.05)
-    ap.add_argument("--scan-unroll", type=int, default=4)
+    # unroll=2 is the measured sweet spot at this scale (VALIDATION
+    # "DP knee": 1->7.5k, 2->11.0k, 4->8.9k, 8->5.4k single-episode;
+    # B=8 knee 26.1k at unroll=2) — unlike the flagship d=97 config,
+    # where the sweep is flat, the 42-MFLOP step bloats under unrolling.
+    ap.add_argument("--scan-unroll", type=int, default=2)
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 matmul params (f32 accumulation)")
     ap.add_argument("--no-pi-control", action="store_true",
