@@ -527,9 +527,8 @@ def main():
             recall=np.asarray(sim.data[recall_probe])[::sk].astype(np.float32),
             err=np.asarray(sim.data[err_probe])[::sk].astype(np.float32),
             pi=np.asarray(sim.data[probes["adaptive"]])[::sk].astype(np.float32),
-            in_view=in_view_row[::sk] if args.auto else
-            (np.linalg.norm(vec_to_landmarks, axis=2).min(axis=1)
-             <= args.view_rad)[::sk],
+            in_view=(np.linalg.norm(vec_to_landmarks, axis=2).min(axis=1)
+                     <= args.view_rad)[::sk],
             path=path[::sk].astype(np.float32), skip=sk, dt=dt,
             k_step=k_step)
         print(f"dumped monitor traces to {args.dump}", flush=True)

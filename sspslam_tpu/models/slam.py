@@ -576,10 +576,12 @@ class SLAMNetwork(Network):
                 # -0.1 into the Voja rule so its signal is 1 - 1 = 0.
                 Connection(self.assomemory.recall,
                            self.update_state[2 * d:3 * d], synapse=ev_tau)
-                # the PES error population output is the map-divergence
-                # evidence channel: |recall - value| on familiar landmarks
-                # is the rate the live map is being dragged (see the gate
-                # docstring) — learning-rate-invariant kidnap signal
+                # the PES error population output (recall - value) feeds
+                # the gate's map-CONSISTENCY channel: the controller
+                # reconstructs value = recall - err and uses
+                # cos(recall, value) on familiar landmarks as the
+                # learning-rate-invariant kidnap signal (see the gate
+                # docstring)
                 Connection(self.assomemory.error,
                            self.update_state[3 * d:4 * d], synapse=ev_tau)
                 Connection(self.update_state[d],
