@@ -114,7 +114,13 @@ def main():
     # where the sweep is flat, the 42-MFLOP step bloats under unrolling.
     ap.add_argument("--scan-unroll", type=int, default=2)
     ap.add_argument("--bf16", action="store_true",
-                    help="bf16 matmul params (f32 accumulation)")
+                    help="alias for --param-dtype bf16")
+    ap.add_argument("--param-dtype", default=None,
+                    choices=["f32", "bf16", "int8", "fp8"],
+                    help="static matmul-parameter storage: bf16 halves the "
+                         "HBM parameter traffic, int8/fp8 quarter it "
+                         "(per-slice scales, f32 accumulation — the "
+                         "Loihi-8-bit-synapse analog, ops/quantize.py)")
     ap.add_argument("--no-pi-control", action="store_true",
                     help="skip the PI-only control model (halves the VCO "
                          "count; the SLAM-vs-drift separation is then not "
@@ -210,7 +216,8 @@ def main():
             pi_p = Probe(pi_only.output, synapse=0.05)
 
     t0 = time.time()
-    mm = jnp.bfloat16 if args.bf16 else None
+    pd = args.param_dtype or ("bf16" if args.bf16 else "f32")
+    mm = None if pd == "f32" else pd
     sim = Simulator(net, seed=seeds[0], matmul_dtype=mm)
     build_s = time.time() - t0
     n_neurons = sum((be.k * be.n if be.batched else be.n)
@@ -327,7 +334,7 @@ def main():
             print(json.dumps(r), flush=True)
         print(json.dumps({
             "metric": f"scaled {dim}-D SLAM DP sweep (ssp_dim={d}, "
-                      f"mem={args.mem_n_neurons})",
+                      f"mem={args.mem_n_neurons}, dtype={pd})",
             "value": rows[-1]["agg_steps_per_s"], "unit": "steps/s",
             "vs_baseline": None, "dp_sweep": rows}))
         return
@@ -361,7 +368,7 @@ def main():
         "metric": f"scaled {dim}-D SLAM (ssp_dim={d}, "
                   f"mem={args.mem_n_neurons}, {n_neurons} LIF, "
                   f"B={B} vmapped episodes, dtype="
-                  f"{'bf16' if args.bf16 else 'f32'})",
+                  f"{pd})",
         "value": round(agg, 1), "unit": "steps/s",
         "agg_steps_per_s": round(agg, 1),
         "us_per_episode_step": round(1e6 / agg, 3),

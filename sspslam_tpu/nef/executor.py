@@ -16,9 +16,32 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import learning as learning_ops
+from ..ops.quantize import QTensor, quantize
 from .builder import BuiltConnection, BuiltProbe, Model
 
 __all__ = ["make_step_fn"]
+
+
+def _parse_param_dtype(matmul_dtype):
+    """Normalise the ``matmul_dtype`` knob into (cast_dtype, quant_kind).
+
+    Accepted: None / "f32" (full precision), jnp.bfloat16 / "bf16" (bf16
+    storage + matmul inputs, f32 accumulation), "int8" / "fp8" (1-byte
+    storage with per-slice scales — see ops/quantize.py — dequantised
+    after the contraction; matmul inputs bf16, accumulation f32)."""
+    if matmul_dtype is None or matmul_dtype == "f32":
+        return None, None
+    if matmul_dtype == "bf16" or matmul_dtype is jnp.bfloat16:
+        return jnp.bfloat16, None
+    if matmul_dtype in ("int8", "fp8"):
+        return jnp.bfloat16, matmul_dtype
+    return matmul_dtype, None   # any other explicit jnp dtype
+
+
+#: params whose contracted-axis length is below this stay in the cast
+#: dtype — per-slice scales on a (n, 1) gate transform would outweigh the
+#: int8 payload
+_QUANT_MIN_CONTRACT = 32
 
 
 def _contig(idx):
@@ -92,15 +115,24 @@ def build_params(model: Model, matmul_dtype=None):
     HBM-bandwidth-bound at reference scale (~20 MB of parameter reads per
     dt, dominated by the VCO decoder bank) — casting inside the step only
     changes the matmul input dtype while the HBM read stays f32; storing
-    in bf16 actually halves the traffic.  Bias/gain and all learned
-    (PES/Voja) state stay float32."""
+    in bf16 actually halves the traffic.  ``"int8"`` / ``"fp8"`` go one
+    step further: static matmul params are stored 1 byte/weight with
+    per-slice scales applied after the contraction (ops/quantize.py, the
+    Loihi-8-bit-synapse analog) — 4x less parameter traffic than f32.
+    Bias/gain and all learned (PES/Voja) state stay float32."""
     import numpy as np
 
-    def _p(x):
+    cast_dtype, quant_kind = _parse_param_dtype(matmul_dtype)
+
+    def _p(x, caxis=None):
         # device-resident solver outputs (jax arrays) stay on device — a
         # np.asarray here would serialise a device->host->device round trip
         # per parameter over the accelerator tunnel
-        target = matmul_dtype if matmul_dtype is not None else np.float32
+        if (quant_kind is not None and caxis is not None
+                and np.ndim(x) >= 2
+                and np.shape(x)[caxis] >= _QUANT_MIN_CONTRACT):
+            return quantize(x, caxis, quant_kind)
+        target = cast_dtype if cast_dtype is not None else np.float32
         if isinstance(x, np.ndarray) or np.isscalar(x):
             return np.asarray(x).astype(target)
         return x.astype(target)
@@ -108,7 +140,8 @@ def build_params(model: Model, matmul_dtype=None):
     enc_params = []
     for be in model.ensembles:
         enc_params.append({
-            "scaled_encoders": _p(be.scaled_encoders),
+            # encoders contract the representation axis (their LAST)
+            "scaled_encoders": _p(be.scaled_encoders, caxis=-1),
             "bias": np.asarray(be.bias, np.float32),
             "gain": np.asarray(be.gain, np.float32),
         })
@@ -116,25 +149,32 @@ def build_params(model: Model, matmul_dtype=None):
     for bc in model.connections:
         d = {}
         if bc.weights is not None:
-            d["W"] = _p(bc.weights)
+            # every W form contracts its LAST axis (input dim / pre
+            # neurons): matmul(W, v), ein("kds,s->kd"), ein("knm,km->kn")
+            d["W"] = _p(bc.weights, caxis=-1)
         if bc.decoders is not None and bc.learned_slot is None:
-            d["D"] = _p(bc.decoders)
+            # decoders contract the NEURON axis (second-to-last):
+            # matmul(act, D), ein("kn,knd->kd")
+            d["D"] = _p(bc.decoders, caxis=-2)
         conn_const[str(bc.index)] = d
     probe_const = {}
     for bp in model.probes:
         d = {}
         if bp.decoders is not None:
-            d["D"] = _p(bp.decoders)
+            d["D"] = _p(bp.decoders, caxis=-2)
         probe_const[str(bp.index)] = d
     # batched per-element decode stacks (g, n, d); the members keep their
     # individual "D" entries too (read only by weights probes, never in the
     # hot step path — XLA dead-code-eliminates unused inputs)
     dstack = {}
     for key, bcs in _elem_decode_groups(model).items():
-        mats = [_p(bc.decoders) for bc in bcs]
-        dstack[key] = (jnp.stack(mats)
-                       if any(not isinstance(m, np.ndarray) for m in mats)
-                       else np.stack(mats))
+        mats = [np.asarray(bc.decoders, np.float32)
+                if isinstance(bc.decoders, np.ndarray)
+                else bc.decoders for bc in bcs]
+        stacked = (jnp.stack([jnp.asarray(m) for m in mats])
+                   if any(not isinstance(m, np.ndarray) for m in mats)
+                   else np.stack(mats))
+        dstack[key] = _p(stacked, caxis=-2)
     # fused-EA layered decode stacks: full-group (k_tot, n, d) matrices with
     # each member's (k_ea, n, d) decoders scattered into its rows
     for key, bcs in _ea_batch_decode_groups(model).items():
@@ -145,7 +185,7 @@ def build_params(model: Model, matmul_dtype=None):
             off, kk = bc.ea_rows
             full = full.at[off:off + kk].set(
                 jnp.asarray(bc.decoders, jnp.float32))
-        dstack[key] = _p(full)
+        dstack[key] = _p(full, caxis=-2)
     # learning rates as traced values, NOT jit constants: one compiled
     # executable serves every learning-rate setting of a model shape (a
     # fresh scan compile costs minutes on remote-compile backends).
@@ -170,26 +210,45 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
     ``matmul_dtype``: optional reduced precision (jnp.bfloat16) for the
     encoder/decoder/weight matmul INPUTS (accumulation stays float32 via
     preferred_element_type).  Parameter reads dominate the per-step HBM
-    traffic of large models; bf16 params halve it.  State, filters and
-    learned weights remain float32."""
+    traffic of large models; bf16 params halve it.  ``"int8"``/``"fp8"``
+    read QTensor params (1 byte/weight) and apply the per-slice scale to
+    the contraction OUTPUT — exact factorisation, see ops/quantize.py.
+    State, filters and learned weights remain float32."""
     dt = model.dt
     filt_coeffs = [(a, b) for (_shape, a, b) in model.filter_specs]
     cascade = model.filter_cascade  # Alpha synapses: out slot -> hidden slot
-    mm = matmul_dtype
+    mm, _quant_kind = _parse_param_dtype(matmul_dtype)
 
     def cast(a):
         return a.astype(mm) if mm is not None else a
 
-    def matmul(a, b):
+    def _qop(op, a, b):
+        """Contraction with one possibly-QTensor operand: contract the
+        1-byte payload (cast to the matmul input dtype; int8 <= 127 is
+        exact in bf16), then restore the per-slice scale on the output —
+        the scale's shape is the param's non-contracted axes, which are
+        the output's trailing axes for every contraction in the step."""
+        if isinstance(b, QTensor):
+            return op(cast(a), b.q.astype(mm)) * b.s
+        if isinstance(a, QTensor):
+            return op(a.q.astype(mm), cast(b)) * a.s
         if mm is None:
+            return op(a, b)
+        return op(cast(a), cast(b))
+
+    def matmul(a, b):
+        if mm is None and not isinstance(b, QTensor) \
+                and not isinstance(a, QTensor):
             return a @ b
-        return jnp.matmul(cast(a), cast(b), preferred_element_type=dtype)
+        return _qop(lambda x, y: jnp.matmul(
+            x, y, preferred_element_type=dtype), a, b)
 
     def ein(spec, a, b):
-        if mm is None:
+        if mm is None and not isinstance(b, QTensor) \
+                and not isinstance(a, QTensor):
             return jnp.einsum(spec, a, b)
-        return jnp.einsum(spec, cast(a), cast(b),
-                          preferred_element_type=dtype)
+        return _qop(lambda x, y: jnp.einsum(
+            spec, x, y, preferred_element_type=dtype), a, b)
 
     # incoming connections per unit
     node_in: Dict[int, list] = {}
@@ -528,6 +587,8 @@ def make_step_fn(model: Model, dtype=jnp.float32, matmul_dtype=None):
             elif bp.kind == "weights":
                 D = (new_learned[bp.target.learned_slot]
                      if bp.target.learned_slot else conn_const[str(bp.target.index)]["D"])
+                if isinstance(D, QTensor):   # quantised static decoders
+                    D = D.dequant()
                 v = D.T if D.ndim == 2 else D
             elif bp.kind == "scaled_encoders":
                 v = new_learned[bp.target.learned_slot]

@@ -46,6 +46,12 @@ __all__ = ["save_bundle", "ServingModel"]
 # ---------------------------------------------------------------------------
 # JSON-portable pytree (de)construction — no pickle in the artifact.
 def _flatten(x, leaves: list):
+    from ..ops.quantize import QTensor
+    if isinstance(x, QTensor):
+        # quantised param (int8 payload + f32 scales + static caxis)
+        return {"t": "qtensor", "caxis": x.caxis,
+                "c": [_flatten(np.asarray(x.q), leaves),
+                      _flatten(np.asarray(x.s), leaves)]}
     if isinstance(x, dict):
         keys = sorted(x.keys())
         return {"t": "dict", "keys": list(keys),
@@ -53,18 +59,33 @@ def _flatten(x, leaves: list):
     if isinstance(x, (list, tuple)):
         return {"t": "list" if isinstance(x, list) else "tuple",
                 "c": [_flatten(v, leaves) for v in x]}
-    leaves.append(np.asarray(x))
-    return {"t": "leaf", "i": len(leaves) - 1}
+    leaf = np.asarray(x)
+    spec = {"t": "leaf", "i": len(leaves)}
+    if leaf.dtype.kind not in "biufc":
+        # ml_dtypes extension types (bfloat16, float8_*) survive np.savez
+        # only as raw void bytes — tag the dtype name so _build can view
+        # the bytes back (jax rejects |V2 arrays otherwise)
+        spec["dtype"] = leaf.dtype.name
+    leaves.append(leaf)
+    return spec
 
 
 def _build(spec, leaves):
     t = spec["t"]
+    if t == "qtensor":
+        from ..ops.quantize import QTensor
+        return QTensor(_build(spec["c"][0], leaves),
+                       _build(spec["c"][1], leaves), spec["caxis"])
     if t == "dict":
         return {k: _build(c, leaves) for k, c in zip(spec["keys"], spec["c"])}
     if t in ("list", "tuple"):
         seq = [_build(c, leaves) for c in spec["c"]]
         return seq if t == "list" else tuple(seq)
-    return leaves[spec["i"]]
+    leaf = leaves[spec["i"]]
+    if "dtype" in spec and leaf.dtype.kind == "V":
+        import ml_dtypes  # noqa: F401  (registers the extension dtypes)
+        leaf = leaf.view(np.dtype(spec["dtype"]))
+    return leaf
 
 
 def _shape_structs(tree):
