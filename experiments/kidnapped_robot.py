@@ -47,7 +47,9 @@ sys.path.insert(1, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sspslam_tpu
 from sspslam_tpu import HexagonalSSPSpace
 from sspslam_tpu.models import (PathIntegration, SLAMNetwork,
-                                get_slam_input_functions2)
+                                SLAMViewNetwork, get_slam_input_functions2,
+                                get_slamview_input_functions)
+from sspslam_tpu.models.slam import _np_make_unitary
 from sspslam_tpu.nef import (Connection, Network, Node, Probe, Simulator,
                              WhiteSignal)
 from sspslam_tpu.utils.sampling import Rd_sampling
@@ -81,6 +83,14 @@ def main():
                          "agreement basin and drift resumes (measured: a "
                          "10 s window at shift 0.2 relapses)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--model", default="landmark",
+                    choices=["landmark", "view"],
+                    help="loop-closure family: 'landmark' = SLAMNetwork "
+                         "(per-landmark bind/unbind map), 'view' = "
+                         "SLAMViewNetwork (local-view-cell memory learning "
+                         "view -> self-position directly, reference "
+                         "slam_view.py).  Both support the scripted, "
+                         "--auto and --in-model detection modes")
     ap.add_argument("--ssp-dim", type=int, default=97)
     ap.add_argument("--n-landmarks", type=int, default=50)
     ap.add_argument("--view-rad", type=float, default=0.2)
@@ -233,9 +243,13 @@ def main():
     vec_to_landmarks = obj_locs[None, :, :] - path[:, None, :]
     lm_space = sspslam_tpu.SPSpace(args.n_landmarks, d, seed=args.seed)
 
-    (vel_f, scale, in_view_f, _, sp_f, _, vecssp_f) = \
-        get_slam_input_functions2(space, lm_space, vels, vec_to_landmarks,
-                                  args.view_rad)
+    if args.model == "view":
+        (vel_f, scale, in_view_f, view_f) = get_slamview_input_functions(
+            space, lm_space, vels, vec_to_landmarks, args.view_rad)
+    else:
+        (vel_f, scale, in_view_f, _, sp_f, _, vecssp_f) = \
+            get_slam_input_functions2(space, lm_space, vels,
+                                      vec_to_landmarks, args.view_rad)
     init = space.encode(path[:1]).flatten()
 
     def add_slam(gate_mode="reference"):
@@ -250,18 +264,27 @@ def main():
                   "cons_trigger": (0.5 if args.auto_cons_trigger is None
                                    else args.auto_cons_trigger),
                   "cons_ema_tau": args.auto_cons_ema_tau}
-        slam = SLAMNetwork(
-            space, lm_space, args.view_rad, args.n_landmarks,
-            args.pi_n_neurons, args.mem_n_neurons, args.circonv_n_neurons,
+        common = dict(
             update_thres=args.update_thres, shift_rate=args.shift_rate,
             voja_learning_rate=args.voja_lr,
-            pes_learning_rate=args.pes_lr, intercept=args.intercept,
+            pes_learning_rate=args.pes_lr,
             vel_scaling_factor=scale, seed=args.seed,
             gate_mode=gate_mode, gate_kwargs=gk)
+        if args.model == "view":
+            slam = SLAMViewNetwork(
+                space, lm_space, args.view_rad, args.n_landmarks,
+                args.pi_n_neurons, args.mem_n_neurons,
+                args.circonv_n_neurons, **common)
+            Connection(view_node, slam.view_input, synapse=None)
+        else:
+            slam = SLAMNetwork(
+                space, lm_space, args.view_rad, args.n_landmarks,
+                args.pi_n_neurons, args.mem_n_neurons,
+                args.circonv_n_neurons, intercept=args.intercept, **common)
+            Connection(lm_id, slam.landmark_id_input, synapse=None)
+            Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
         Connection(vel, slam.velocity_input, synapse=None)
         Connection(init_node, slam.pathintegrator.input, synapse=None)
-        Connection(lm_id, slam.landmark_id_input, synapse=None)
-        Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
         Connection(in_view, slam.no_landmark_in_view, synapse=None)
         return slam, Probe(slam.pathintegrator.output, synapse=0.05)
 
@@ -270,8 +293,11 @@ def main():
     with Network(seed=args.seed) as net:
         vel = Node(vel_f)
         init_node = Node(lambda t: init if t < 0.05 else np.zeros(d))
-        lm_id = Node(sp_f)
-        lm_ssp = Node(vecssp_f)
+        if args.model == "view":
+            view_node = Node(view_f)
+        else:
+            lm_id = Node(sp_f)
+            lm_ssp = Node(vecssp_f)
         in_view = Node(in_view_f)
         probes = {}
         _, probes["strict"] = add_slam()            # hoisted key h0
@@ -280,8 +306,14 @@ def main():
         # position estimate next to the PI output, plus the raw memory
         # recall whose magnitude is the FAMILIARITY of the current
         # landmark (unlearned landmark -> recall ~0 -> the estimate is
-        # noise and its disagreement is not evidence of tracking loss)
-        est_probe = Probe(adaptive.position_estimate.output, synapse=0.05)
+        # noise and its disagreement is not evidence of tracking loss).
+        # The view model has no unbinding stage: its position estimate IS
+        # make_unitary(recall) — probe the raw recall and apply the
+        # unitary on the host when reading est rows
+        est_probe = Probe(adaptive.assomemory.recall
+                          if args.model == "view"
+                          else adaptive.position_estimate.output,
+                          synapse=0.05)
         recall_probe = Probe(adaptive.assomemory.recall, synapse=0.05)
         err_probe = Probe(adaptive.assomemory.error, synapse=0.05)
         if args.in_model:
@@ -430,6 +462,8 @@ def main():
             rec = rec_all[rows]
             familiar = float(np.mean(rn[rows]))
             est = tick_rows(est_bp)[rows]
+            if args.model == "view":
+                est = np.atleast_2d(_np_make_unitary(est))
             pi = tick_rows(api_bp)[rows]
             # map-consistency evidence: cos(recall, value) over steps with
             # a FAMILIAR landmark (value = recall - err, the PES error
@@ -559,7 +593,8 @@ def main():
     idx = np.arange(0, n_steps, skip)
     path_s = path[idx]
     k_s = int(np.searchsorted(idx, k_step))
-    result = {"jump": round(jump, 3), "T": T, "kidnap_t": k_step * dt,
+    result = {"model": args.model, "jump": round(jump, 3), "T": T,
+              "kidnap_t": k_step * dt,
               "recovery_window": rec_steps * dt, "ssp_dim": d,
               "n_landmarks": args.n_landmarks, "seed": args.seed,
               "update_thres": args.update_thres,

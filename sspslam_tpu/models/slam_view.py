@@ -17,8 +17,9 @@ from ..nef import Connection, Ensemble, Network, Node
 from ..nef.distributions import CosineSimilarity
 from .associativememory import AssociativeMemory
 from .pathintegration import PathIntegration
-from .slam import (make_cleanup_fun, make_update_state_func,
-                   _np_make_unitary, _vel_scale, _wrap_cleanup_node)
+from .slam import (make_auto_recovery_gate_func, make_cleanup_fun,
+                   make_update_state_func, _np_make_unitary, _vel_scale,
+                   _wrap_cleanup_node)
 
 __all__ = ["SLAMViewNetwork", "get_slamview_input_functions"]
 
@@ -32,6 +33,7 @@ class SLAMViewNetwork(Network):
                  voja_learning_rate=5e-4, pes_learning_rate=1e-2,
                  clean_up_method="grid", gc_n_neurons=0, encoders=None,
                  voja=True, seed=0, cleanup_samples_per_dim=100,
+                 gate_mode="reference", gate_kwargs=None,
                  label="slamview"):
         super().__init__(label=label, seed=seed)
 
@@ -57,17 +59,33 @@ class SLAMViewNetwork(Network):
 
         # gate shared with SLAMNetwork (thresholds traced under
         # SSPSLAM_HOIST_GATE=1: zero-recompile sweeps; numpy mirror
-        # honors the same hoisted consts)
-        update_state_func = make_update_state_func(update_thres, shift_rate,
-                                                   d)
+        # honors the same hoisted consts).  gate_mode='auto_recovery'
+        # ports the in-model tracking-loss controller: the map-consistency
+        # statistic cos(recall, value) transfers because value (recovered
+        # as recall - err from the PES error population) is here the
+        # CLEANED-PI self-position the memory learns directly (reference
+        # slam_view.py:254-276) — after a kidnap the view recalls the TRUE
+        # location phi(x_true) while the value stream carries the wrong
+        # phi(x_pi), near-orthogonal beyond the kernel width; during
+        # initial learning PES drags recall colinear to value so the
+        # statistic stays ~+1, exactly as in the landmark model.
+        if gate_mode == "auto_recovery":
+            update_state_func = make_auto_recovery_gate_func(
+                update_thres, shift_rate, d, **(gate_kwargs or {}))
+            gate_in, gate_out = 4 * d + 1, d + 1
+        else:
+            assert gate_mode == "reference", gate_mode
+            update_state_func = make_update_state_func(update_thres,
+                                                       shift_rate, d)
+            gate_in, gate_out = 2 * d + 1, d
 
         with self:
             self.velocity_input = Node(size_in=domain_dim, label="vel_input")
             self.view_input = Node(size_in=d, label="lm_input")
             self.no_landmark_in_view = Node(size_in=1, label="lm_in_view_input")
 
-            self.update_state = Node(update_state_func, size_in=2 * d + 1,
-                                     size_out=d)
+            self.update_state = Node(update_state_func, size_in=gate_in,
+                                     size_out=gate_out)
             Connection(self.no_landmark_in_view, self.update_state[-1],
                        synapse=None)
 
@@ -79,7 +97,10 @@ class SLAMViewNetwork(Network):
             self.output = self.pathintegrator.output
             Connection(self.velocity_input, self.pathintegrator.velocity_input,
                        synapse=None)
-            Connection(self.update_state, self.pathintegrator.input,
+            corr_src = (self.update_state[:d]
+                        if gate_mode == "auto_recovery" else
+                        self.update_state)
+            Connection(corr_src, self.pathintegrator.input,
                        synapse=None)
 
             # environment map: view vector -> self-position SSP
@@ -116,11 +137,36 @@ class SLAMViewNetwork(Network):
                 Connection(self.gridcells, self.assomemory.value_input,
                            synapse=tau)
 
-            # gated correction using the recalled position directly
+            # gated correction using the recalled position directly.
+            # Auto-recovery evidence rides a slower dedicated synapse, the
+            # same rule as SLAMNetwork (the controller's loss statistics
+            # were validated on 50 ms-filtered signals; per-step decodes
+            # are ~5x noisier and false-trigger right after arming)
+            ev_tau = max(tau, 0.05) if gate_mode == "auto_recovery" else tau
             Connection(self.assomemory.recall, self.update_state[:d],
-                       function=_np_make_unitary, synapse=tau)
+                       function=_np_make_unitary, synapse=ev_tau)
             Connection(self.pathintegrator.output,
-                       self.update_state[d:2 * d], synapse=tau)
+                       self.update_state[d:2 * d], synapse=ev_tau)
+            if gate_mode == "auto_recovery":
+                # raw recall magnitude = view-familiarity evidence; the
+                # PES error output lets the gate reconstruct value =
+                # recall - err for the consistency statistic.  The
+                # suppress channel freezes map learning during recovery
+                # with the correct signs (see SLAMNetwork.__init__):
+                # -2.5/neuron into the error population (PES freeze) and
+                # -0.1 into the Voja rule so its 1 + gate signal cancels.
+                Connection(self.assomemory.recall,
+                           self.update_state[2 * d:3 * d], synapse=ev_tau)
+                Connection(self.assomemory.error,
+                           self.update_state[3 * d:4 * d], synapse=ev_tau)
+                Connection(self.update_state[d],
+                           self.assomemory.error.neurons,
+                           transform=-2.5 * np.ones((mem_n_neurons, 1)),
+                           synapse=None)
+                if voja:
+                    Connection(self.update_state[d],
+                               self.assomemory.conn_in.learning_rule,
+                               transform=-0.1, synapse=None)
 
 
 def get_slamview_input_functions(ssp_space, lm_space, velocity_data,

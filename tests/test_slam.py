@@ -197,6 +197,80 @@ class TestSLAMViewNetwork:
             np.linalg.norm(out, axis=1), 1e-9)
         assert np.mean(sims[300:]) > 0.3
 
+    def _run_view(self, space, gate_mode, gate_kwargs=None, T=0.5):
+        path, vels, vec_to_lm = make_world(T=T, seed=3, high=2.0)
+        d = space.ssp_dim
+        lm_space = SPSpace(3, d, seed=3)
+        view_rad = 5.0  # always in view -> memory active every step
+        velocity_func, scale, in_view_f, landmark_func = \
+            get_slamview_input_functions(space, lm_space, vels, vec_to_lm,
+                                         view_rad)
+        with Network(seed=3) as net:
+            vel = Node(velocity_func)
+            view = Node(landmark_func)
+            in_view = Node(in_view_f)
+            slam = SLAMViewNetwork(space, lm_space, view_rad, 3,
+                                   pi_n_neurons=80, mem_n_neurons=90,
+                                   circonv_n_neurons=30,
+                                   vel_scaling_factor=scale,
+                                   cleanup_samples_per_dim=10, seed=3,
+                                   gate_mode=gate_mode,
+                                   gate_kwargs=gate_kwargs)
+            Connection(vel, slam.velocity_input, synapse=None)
+            Connection(view, slam.view_input, synapse=None)
+            Connection(in_view, slam.no_landmark_in_view, synapse=None)
+            out_p = Probe(slam.pathintegrator.output, synapse=0.05)
+            enc_p = Probe(slam.assomemory.conn_in.learning_rule,
+                          attr="scaled_encoders", sample_every=T)
+            w_p = Probe(slam.assomemory.conn_out, attr="weights",
+                        sample_every=T)
+        sim = Simulator(net, seed=3, default_neuron_type=LIFRate())
+        sim.run(T)
+        return (np.asarray(sim.data[out_p]),
+                np.asarray(sim.data[enc_p][-1]),
+                np.asarray(sim.data[w_p][-1]))
+
+    def test_auto_recovery_gate_builds_and_runs(self, space):
+        # the in-model tracking-loss controller ported to the view family:
+        # same stateful gate node, evidence channels wired off the view
+        # memory (recall + PES error)
+        out, _, _ = self._run_view(space, "auto_recovery")
+        assert np.all(np.isfinite(out))
+
+    def test_recovery_freezes_view_map_learning(self, space):
+        # mirror of TestSLAMNetwork.test_recovery_suppresses_voja_and_pes
+        # for the view family: permanent recovery must freeze Voja exactly
+        # (1+gate cancels to 0) and inhibit the PES error population
+        _, enc_rec, w_rec = self._run_view(
+            space, "auto_recovery",
+            {"arm_at_start": True, "trigger": 2.0, "familiar": 0.0,
+             "recovery_T": 2 * 0.5})
+        _, enc_ref, w_ref = self._run_view(space, "reference")
+        # initial encoders: re-build and read the first step's snapshot
+        path, vels, vec_to_lm = make_world(T=0.5, seed=3, high=2.0)
+        lm_space = SPSpace(3, space.ssp_dim, seed=3)
+        velocity_func, scale, in_view_f, landmark_func = \
+            get_slamview_input_functions(space, lm_space, vels, vec_to_lm,
+                                         5.0)
+        with Network(seed=3) as net0:
+            slam0 = SLAMViewNetwork(space, lm_space, 5.0, 3,
+                                    pi_n_neurons=80, mem_n_neurons=90,
+                                    circonv_n_neurons=30,
+                                    vel_scaling_factor=scale,
+                                    cleanup_samples_per_dim=10, seed=3)
+            enc_p0 = Probe(slam0.assomemory.conn_in.learning_rule,
+                           attr="scaled_encoders", sample_every=0.001)
+        sim0 = Simulator(net0, seed=3, default_neuron_type=LIFRate())
+        sim0.run_steps(1)
+        enc_init = np.asarray(sim0.data[enc_p0][0])
+        drift_ref = np.abs(enc_ref - enc_init).max()
+        drift_rec = np.abs(enc_rec - enc_init).max()
+        assert drift_ref > 1e-5, "control run should learn encoders"
+        assert drift_rec <= 1e-6, (
+            f"recovery must freeze Voja (drift {drift_rec} vs active "
+            f"{drift_ref})")
+        assert np.abs(w_rec).max() < 0.05 * max(np.abs(w_ref).max(), 1e-9)
+
 
 class TestSLAMGatedNetwork:
     def test_end_to_end(self, space):
