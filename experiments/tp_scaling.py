@@ -112,33 +112,79 @@ def main():
     ap.add_argument("--circonv-n-neurons", type=int, default=50)
     ap.add_argument("--n-landmarks", type=int, default=8)
     ap.add_argument("--mesh-sizes", default="1,2,4,8")
+    ap.add_argument("--unroll", type=int, default=4,
+                    help="scan-body unroll (the collective/FLOP/bytes "
+                         "analysis is unroll-independent; 1 keeps the "
+                         "d=727 compile tractable on a single host core)")
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--tpu-solve", action="store_true",
+                    help="solve decoders on the real accelerator, analyze "
+                         "on the virtual CPU mesh: the d=727/10k-neuron "
+                         "build's Gram/Cholesky is ~2e15 FLOPs — hours on "
+                         "one host core, seconds on the chip.  Params are "
+                         "pulled to host and re-placed per mesh")
+    ap.add_argument("--build-once", action="store_true",
+                    help="build a single model padded to the LARGEST mesh "
+                         "and reuse it for every mesh size (phantom rows "
+                         "are exact zeros; all sizes divide the max pad, "
+                         "and the shared padding makes the per-device "
+                         "FLOP/byte ratios directly comparable)")
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
     import jax
-    if not os.environ.get("SSPSLAM_TPU_MESH"):
+    if args.tpu_solve:
+        # accelerator first (default backend -> the solver runs there),
+        # CPU second (the virtual mesh lives there)
+        plat = os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "tpu"
+        try:
+            jax.config.update("jax_platforms", f"{plat},cpu")
+            jax.devices()   # force backend init; throws if absent
+        except Exception:
+            log(f"accelerator platform {plat!r} unavailable; "
+                "falling back to cpu-only")
+            jax.config.update("jax_platforms", "cpu")
+    elif not os.environ.get("SSPSLAM_TPU_MESH"):
         os.environ["JAX_PLATFORMS"] = "cpu"
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
-    from sspslam_tpu.parallel.sharding import make_mesh, state_shardings
+    from jax.sharding import Mesh
+    from sspslam_tpu.parallel.sharding import state_shardings
 
-    log(f"devices: {len(jax.devices())} x {jax.devices()[0].platform}")
+    cpu_devs = np.asarray(jax.devices("cpu"))
+    log(f"devices: {len(jax.devices())} x {jax.devices()[0].platform}; "
+        f"mesh devices: {len(cpu_devs)} cpu")
+
+    def cpu_mesh(n):
+        return Mesh(cpu_devs[:n], ("model",))
+
+    mesh_sizes = [int(x) for x in args.mesh_sizes.split(",")]
+    shared_sim = None
+    if args.build_once:
+        t0 = time.time()
+        shared_sim = build_slam(args, mesh=cpu_mesh(max(mesh_sizes)))
+        # pull solved params to host: the analysis jits re-place them on
+        # each CPU mesh (a TPU-solved param must not stay chip-committed)
+        shared_params = jax.tree_util.tree_map(np.asarray, shared_sim.params)
+        log(f"built once (pad={max(mesh_sizes)}) in {time.time() - t0:.0f}s")
 
     rows = []
     ideal_flops = None
-    for n_dev in [int(x) for x in args.mesh_sizes.split(",")]:
-        mesh = make_mesh(n_dev)
-        # rebuild per mesh: batched element axes pad to n_dev multiples
-        # (builder pad_batched_to) so GSPMD shards them evenly — the d=97
-        # flagship's k=49 VCO bank divides no power-of-two mesh unpadded
-        sim = build_slam(args, mesh=mesh if n_dev > 1 else None)
+    for n_dev in mesh_sizes:
+        mesh = cpu_mesh(n_dev)
+        if shared_sim is not None:
+            sim, params = shared_sim, shared_params
+        else:
+            # rebuild per mesh: batched element axes pad to n_dev multiples
+            # (builder pad_batched_to) so GSPMD shards them evenly — the
+            # d=97 flagship's k=49 VCO bank divides no power-of-two mesh
+            # unpadded
+            sim = build_slam(args, mesh=mesh if n_dev > 1 else None)
+            params = jax.tree_util.tree_map(np.asarray, sim.params)
         model = sim.model
         step = sim._step_fn
-        params = sim.params
         T = args.steps
-        xs_cols = [jnp.asarray(np.asarray(c)[:T])
-                   for c in sim._tabulate_inputs(T)]
+        xs_cols = [np.asarray(c)[:T] for c in sim._tabulate_inputs(T)]
         n_neurons = sum((be.k * be.n if be.batched else be.n)
                         for be in model.ensembles)
         ks = [be.k for be in model.ensembles if be.batched]
@@ -146,13 +192,13 @@ def main():
             f"batched group sizes={ks}")
         shardings = state_shardings(model, mesh)
         state0 = jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(jnp.asarray(x), s),
+            lambda x, s: jax.device_put(np.asarray(x), s),
             model.initial_state(), shardings)
 
         def scan_fn(state, xs, params):
             def body(carry, x):
                 return step(carry, x, params)
-            return jax.lax.scan(body, state, xs, unroll=4)
+            return jax.lax.scan(body, state, xs, unroll=args.unroll)
 
         from sspslam_tpu.parallel.sharding import (params_shardings,
                                                    replicated)
@@ -166,6 +212,13 @@ def main():
         if isinstance(cost, list):
             cost = cost[0]
         flops = float(cost.get("flops", float("nan"))) if cost else float("nan")
+        # per-device HBM traffic of the compiled per-device program.  At
+        # the HBM-bound scale (d>=385 single-episode; VALIDATION.md scale
+        # table) the binding resource is parameter-read BYTES, not FLOPs —
+        # TP pays exactly when this column falls ~1/n (each shard reads
+        # only its slice of the decoder/encoder banks)
+        bytes_acc = (float(cost.get("bytes accessed", float("nan")))
+                     if cost else float("nan"))
         stats = collective_stats(compiled)
 
         out = fn(state0, xs_cols, params)
@@ -179,18 +232,26 @@ def main():
         med = float(np.median(times))
         if n_dev == 1 and ideal_flops is None:
             ideal_flops = flops
+            ideal_bytes = bytes_acc
         ratio = (flops / (ideal_flops / n_dev)
                  if ideal_flops and np.isfinite(flops) else float("nan"))
+        bratio = (bytes_acc / (ideal_bytes / n_dev)
+                  if ideal_bytes and np.isfinite(bytes_acc)
+                  else float("nan"))
         row = {"mesh": n_dev, "wall_s_per_segment": round(med, 4),
                "steps_per_s": round(T / med, 1),
                "flops_per_segment": flops,
-               "per_device_flops_vs_ideal": round(ratio, 3), **stats}
+               "per_device_flops_vs_ideal": round(ratio, 3),
+               "bytes_accessed_per_segment": bytes_acc,
+               "per_device_bytes_vs_ideal": round(bratio, 3), **stats}
         rows.append(row)
         log(f"mesh={n_dev}: {med*1e3:.1f} ms/segment ({T/med:.0f} steps/s), "
             f"all-reduce={stats['all-reduce']} "
             f"({stats['all_reduce_bytes']/1e3:.1f} kB/step-segment), "
             f"all-gather={stats['all-gather']}, flops={flops:.3g}, "
-            f"vs-ideal={row['per_device_flops_vs_ideal']}")
+            f"vs-ideal={row['per_device_flops_vs_ideal']}; "
+            f"bytes={bytes_acc:.3g}, "
+            f"bytes-vs-ideal={row['per_device_bytes_vs_ideal']}")
 
     print(json.dumps(rows, indent=1))
     if args.json_out:
