@@ -374,6 +374,10 @@ def main():
                          "experiments/scaled_slam.py and forward its JSON")
     ap.add_argument("--scaled-T", type=float, default=120.0)
     ap.add_argument("--scaled-seeds", default="0,1,2,3")
+    ap.add_argument("--no-scaled-spot", action="store_true",
+                    help="skip the scaled-regime int8 spot row embedded in "
+                         "the default JSON")
+    ap.add_argument("--scaled-spot-T", type=float, default=40.0)
     args = ap.parse_args()
 
     if args.scaled:
@@ -394,6 +398,44 @@ def main():
             raise SystemExit(out.returncode or 1)
         print(lines[-1])
         return
+
+    # scaled-regime spot row (BASELINE config 5 at int8 parameter storage,
+    # the round-5 headline dtype): a SUBPROCESS run BEFORE this process
+    # claims the accelerator, so the two jax clients never hold the tunnel
+    # concurrently.  Gated on decoded tracking error <= the view radius —
+    # the distance-error gate the flagship's cosine gate can't provide.
+    scaled_spot = None
+    if not args.no_scaled_spot and not args.cpu and not args.batch_sweep \
+            and args.batch <= 1 and args.model == "slam":
+        import subprocess
+        cmd = [sys.executable,
+               os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "experiments", "scaled_slam.py"),
+               "--T", str(args.scaled_spot_T), "--seeds", "0,1",
+               "--param-dtype", "int8", "--no-pi-control"]
+        log("scaled int8 spot run (subprocess)...")
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=1800)
+        lines = [l for l in out.stdout.splitlines() if l.startswith('{"')]
+        try:
+            r = json.loads(lines[-1])
+            gate = 0.4   # the view radius: tracking must stay inside it
+            scaled_spot = {
+                "agg_steps_per_s": r["agg_steps_per_s"],
+                "mfu": r["mfu"],
+                "median_err_slam": r["median_err_slam"],
+                "param_dtype": "int8",
+                "ssp_dim": r["config"]["ssp_dim"],
+                "T": r["T"],
+                "accuracy_gate": gate,
+                "accuracy_pass": bool(r["median_err_slam"] <= gate),
+            }
+            log(f"scaled spot: {r['agg_steps_per_s']:.0f} agg steps/s, "
+                f"median err {r['median_err_slam']:.3f} (gate {gate})")
+        except Exception as e:   # soft-fail: the flagship row still prints
+            scaled_spot = {"error": f"{type(e).__name__}: {e}",
+                           "stderr_tail": out.stderr[-500:]}
+            log(f"scaled spot failed: {scaled_spot['error']}")
 
     import jax
     if args.cpu:
@@ -577,6 +619,10 @@ def main():
         # quality for steps/s
         "accuracy_gate": ACCURACY_GATE,
         "accuracy_pass": bool(tracking_cos >= ACCURACY_GATE),
+        # scaled-regime int8 spot row (None when skipped): BASELINE
+        # config 5 with 1-byte parameter storage, gated on decoded
+        # tracking error <= the view radius
+        "scaled": scaled_spot,
     }))
 
 

@@ -57,16 +57,31 @@ from sspslam_tpu.utils.sampling import Rd_sampling
 from experiments.common import decode_output
 
 
-def make_phase(T, dt, limit, seed, radius):
+def make_phase(T, dt, limit, seed, radius, dim=2):
     n = int(T / dt)
     path = np.hstack([
         WhiteSignal(T, high=limit, seed=seed + i).run(T, dt=dt)
-        for i in range(2)])[:n]
-    for i in range(2):
+        for i in range(dim)])[:n]
+    for i in range(dim):
         lo, hi = path[:, i].min(), path[:, i].max()
         path[:, i] = ((path[:, i] - lo) / max(hi - lo, 1e-12)
                       * 1.8 * radius - 0.9 * radius)
     return path
+
+
+def kernel_value(space, r, M=200, seed=0):
+    """Mean SSP similarity K(r) = cos(phi(x), phi(x + r u)) over random
+    points and directions — the space's own distance->similarity map."""
+    rng = np.random.default_rng(seed)
+    dim = space.domain_dim
+    u = rng.standard_normal((M, dim))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    x = rng.uniform(-0.5, 0.5, (M, dim))
+    a = np.asarray(space.encode(x))
+    b = np.asarray(space.encode(x + r * u))
+    cs = np.sum(a * b, axis=1) / (np.linalg.norm(a, axis=1)
+                                  * np.linalg.norm(b, axis=1))
+    return float(np.mean(cs))
 
 
 def main():
@@ -92,6 +107,29 @@ def main():
                          "slam_view.py).  Both support the scripted, "
                          "--auto and --in-model detection modes")
     ap.add_argument("--ssp-dim", type=int, default=97)
+    ap.add_argument("--domain-dim", type=int, default=2,
+                    help="spatial dimensionality (3 = the scaled config)")
+    ap.add_argument("--length-scale", type=float, default=0.2,
+                    help="SSP length scale (0.3 for the scaled 3-D config)")
+    ap.add_argument("--decode-grid", type=int, default=None,
+                    help="decode samples per axis (default 100 in 2-D, "
+                         "30 in 3-D — the 100^3 bank would be 10^6 rows)")
+    ap.add_argument("--auto-derive", action="store_true",
+                    help="derive the detection thresholds from the SPACE "
+                         "instead of hand constants: trigger = K(view_rad),"
+                         " exit = 0.8 K(view_rad/2), cons-trigger = "
+                         "(K(view_rad/2) + K(view_rad))/2, where K(r) is "
+                         "the space's mean similarity at distance r.  "
+                         "Rationale: healthy tracking error sits near "
+                         "view_rad/2 (so the benign statistic floor is "
+                         "~K(view_rad/2)), and the designed minimum "
+                         "detectable teleport is view_rad (below it the "
+                         "observation stream is consistent with the "
+                         "tracked position — the measured benign blind "
+                         "spot), so the post-kidnap level is ~K(view_rad)."
+                         "  At the flagship config this REPRODUCES the "
+                         "measured hand constants (derived 0.22/0.58/0.47 "
+                         "vs hand 0.2/0.6/0.5)")
     ap.add_argument("--n-landmarks", type=int, default=50)
     ap.add_argument("--view-rad", type=float, default=0.2)
     ap.add_argument("--pi-n-neurons", type=int, default=800)
@@ -213,12 +251,14 @@ def main():
     # teleport (same recipe as validate_loop_closure.py per phase).  Scan
     # phase-B seeds until the teleport is far (a nearby "kidnap" is just
     # drift the strict gate can absorb; the probe is about GROSS error)
+    dim = args.domain_dim
     path_a = make_phase(args.kidnap_frac * T, dt, args.limit,
-                        args.seed, radius)[:k_step]
+                        args.seed, radius, dim)[:k_step]
     path_b, jump = None, -1.0
     for i in range(64):
         cand = make_phase(T - args.kidnap_frac * T, dt, args.limit,
-                          args.seed + 1000 + i, radius)[:n_steps - k_step]
+                          args.seed + 1000 + i, radius,
+                          dim)[:n_steps - k_step]
         j = float(np.linalg.norm(cand[0] - path_a[-1]))
         if args.target_jump is not None:
             if jump < 0 or abs(j - args.target_jump) < abs(
@@ -234,14 +274,26 @@ def main():
     vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
     vels[k_step] = 0.0   # odometry is blind to the teleport
 
-    bounds = 1.1 * radius * np.tile(np.array([-1, 1.0]), (2, 1))
-    space = HexagonalSSPSpace(2, ssp_dim=args.ssp_dim, seed=args.seed,
-                              length_scale=0.2, domain_bounds=bounds)
+    bounds = 1.1 * radius * np.tile(np.array([-1, 1.0]), (dim, 1))
+    space = HexagonalSSPSpace(dim, ssp_dim=args.ssp_dim, seed=args.seed,
+                              length_scale=args.length_scale,
+                              domain_bounds=bounds)
     d = space.ssp_dim
     obj_locs = 0.9 * radius * 2 * (
-        Rd_sampling(args.n_landmarks, 2, seed=args.seed) - 0.5)
+        Rd_sampling(args.n_landmarks, dim, seed=args.seed) - 0.5)
     vec_to_landmarks = obj_locs[None, :, :] - path[:, None, :]
     lm_space = sspslam_tpu.SPSpace(args.n_landmarks, d, seed=args.seed)
+
+    if args.auto_derive:
+        k_half = kernel_value(space, args.view_rad / 2)
+        k_full = kernel_value(space, args.view_rad)
+        args.auto_trigger = round(k_full, 3)
+        args.auto_exit = round(0.8 * k_half, 3)
+        args.auto_cons_trigger = round(0.5 * (k_half + k_full), 3)
+        print(f"derived thresholds from the space: K(vr/2)={k_half:.3f}, "
+              f"K(vr)={k_full:.3f} -> trigger={args.auto_trigger}, "
+              f"exit={args.auto_exit}, "
+              f"cons-trigger={args.auto_cons_trigger}", flush=True)
 
     if args.model == "view":
         (vel_f, scale, in_view_f, view_f) = get_slamview_input_functions(
@@ -593,7 +645,8 @@ def main():
     idx = np.arange(0, n_steps, skip)
     path_s = path[idx]
     k_s = int(np.searchsorted(idx, k_step))
-    result = {"model": args.model, "jump": round(jump, 3), "T": T,
+    result = {"model": args.model, "domain_dim": dim,
+              "jump": round(jump, 3), "T": T,
               "kidnap_t": k_step * dt,
               "recovery_window": rec_steps * dt, "ssp_dim": d,
               "n_landmarks": args.n_landmarks, "seed": args.seed,
@@ -601,13 +654,18 @@ def main():
               "recovered_below": rec_thresh}
     if auto_stats is not None:
         result["auto"] = auto_stats
+    if args.auto_derive:
+        result["derived_thresholds"] = {
+            "trigger": args.auto_trigger, "exit": args.auto_exit,
+            "cons_trigger": args.auto_cons_trigger}
     print(f"\nteleport distance: {jump:.3f}  (recovery threshold "
           f"{rec_thresh})")
     print(f"{'model':12s} {'pre-err':>8s} {'post-err':>9s} "
           f"{'recovery-s':>11s}")
+    grid = args.decode_grid or (100 if dim == 2 else 30)
     for label, probe in probes.items():
         out = np.asarray(sim.data[probe])[idx]
-        est = decode_output(space, out, 2, grid=100)
+        est = decode_output(space, out, dim, grid=grid)
         err = np.sqrt(np.sum((path_s - est) ** 2, axis=1))
         pre = float(np.median(err[k_s // 2:k_s]))
         post = float(np.median(err[k_s + (len(err) - k_s) // 2:]))

@@ -49,11 +49,32 @@ PEAK_F32_FLOPS = 99e12  # v5e f32 MXU peak (bench.py)
 
 def make_world(args, space, lm_space, seed, shared_scale):
     """One seed's world: 3-D band-limited path + Rd landmarks, rendered to
-    the five input tables (vel, init-clamp, lm-sp, lm-vecssp, in-view)."""
+    the five input tables (vel, init-clamp, lm-sp, lm-vecssp, in-view).
+
+    The landmark-SSP table rendering is encode-heavy (~1 min/seed at
+    d~400, T=120 s) and identical across the dtype x B campaign sweeps of
+    one config — cache the scale-independent tables on disk keyed by the
+    world parameters (velocity scaling is applied at load: the shared
+    scale depends on the whole SEED SET, not this world)."""
     from sspslam_tpu.nef import WhiteSignal
     dt = DT
     n_steps = int(args.T / dt)
     dim = args.domain_dim
+    cache = None
+    if args.table_cache:
+        os.makedirs(args.table_cache, exist_ok=True)
+        cache = os.path.join(
+            args.table_cache,
+            f"w{seed}_T{args.T:g}_dim{dim}_d{space.ssp_dim}"
+            f"_ls{args.length_scale:g}_lim{args.limit:g}"
+            f"_L{args.n_landmarks}_vr{args.view_rad:g}.npz")
+    if cache and os.path.exists(cache):
+        with np.load(cache) as f:
+            path, vels = f["path"], f["vels"]
+            tables = {k: f[k] for k in
+                      ("init", "lm_sp", "lm_vecssp", "in_view")}
+        tables["vel"] = (vels * shared_scale).astype(np.float32)
+        return path, vels, tables
     path = np.hstack([
         WhiteSignal(args.T, high=args.limit, seed=seed + 77 * i).run(
             args.T, dt=dt)
@@ -77,6 +98,10 @@ def make_world(args, space, lm_space, seed, shared_scale):
         "lm_vecssp": vecssp_f.rows(0, n_steps),
         "in_view": in_view_f.rows(0, n_steps),
     }
+    if cache:
+        np.savez(cache, path=path, vels=vels,
+                 **{k: tables[k] for k in
+                    ("init", "lm_sp", "lm_vecssp", "in_view")})
     return path, vels, tables
 
 
@@ -106,6 +131,11 @@ def main():
                          "in 3-D; the reference's 100/dim grid would be a "
                          "10^6-row bank, SURVEY.md 'hard parts')")
     ap.add_argument("--decode-grid", type=int, default=30)
+    ap.add_argument("--decode-method", default="from-set",
+                    choices=["from-set", "direct-optim"],
+                    help="offline readout: direct-optim adds the batched "
+                         "Newton polish, removing the ~0.06 grid-"
+                         "quantisation floor of the 30/axis 3-D grid")
     ap.add_argument("--segment-steps", type=int, default=5000)
     ap.add_argument("--probe-every", type=float, default=0.05)
     # unroll=2 is the measured sweet spot at this scale (VALIDATION
@@ -130,6 +160,11 @@ def main():
                          "sweep at this scale (world 0 replicated)")
     ap.add_argument("--save", action="store_true")
     ap.add_argument("--save-dir", default="data")
+    ap.add_argument("--table-cache", default="data/table_cache",
+                    help="directory for the scale-independent input-table "
+                         "cache ('' disables); ~0.6 GB/seed at d~400, "
+                         "saves ~1 min/seed/invocation of encode time "
+                         "across campaign sweeps")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests)")
     args = ap.parse_args()
@@ -355,7 +390,8 @@ def main():
             if p is None:
                 continue
             est = decode_output(space, probes[p][b], dim,
-                                grid=args.decode_grid)
+                                grid=args.decode_grid,
+                                method=args.decode_method)
             err = np.sqrt(np.sum((path_s - est) ** 2, axis=1))
             half = err[len(err) // 2:]
             entry[name] = {"median_err": round(float(np.median(half)), 4),
@@ -378,6 +414,8 @@ def main():
         "per_seed": results,
         "T": args.T, "config": {
             "ssp_dim": d, "domain_dim": dim,
+            "length_scale": args.length_scale,
+            "param_dtype": pd, "decode_method": args.decode_method,
             "mem_n_neurons": args.mem_n_neurons,
             "pi_n_neurons": args.pi_n_neurons,
             "n_landmarks": args.n_landmarks, "view_rad": args.view_rad,

@@ -145,17 +145,31 @@ def build_params(model: Model, matmul_dtype=None):
             "bias": np.asarray(be.bias, np.float32),
             "gain": np.asarray(be.gain, np.float32),
         })
+    def _recurrent(bc):
+        # a connection whose pre and post are the same built ensemble
+        # group — the VCO limit-cycle feedback (and any other attractor
+        # recurrence).  Its decoded feedback is applied ~1000x/s, so the
+        # 0.4%-of-amax int8 rounding compounds where a feedforward path
+        # sees it once; and the bank is a negligible fraction of the
+        # parameter bytes at scale (the 10k-neuron memory/OVC banks
+        # dominate).  Keep it in the cast dtype — ~4x traffic cut on the
+        # dominant banks either way.
+        return (bc.post_kind in ("ens", "ea_elem", "ea_batch", "neurons")
+                and getattr(bc.post, "index", None) is not None
+                and getattr(bc.pre, "index", "x") == bc.post.index
+                and bc.pre_kind != "node")
+
     conn_const = {}
     for bc in model.connections:
         d = {}
         if bc.weights is not None:
             # every W form contracts its LAST axis (input dim / pre
             # neurons): matmul(W, v), ein("kds,s->kd"), ein("knm,km->kn")
-            d["W"] = _p(bc.weights, caxis=-1)
+            d["W"] = _p(bc.weights, caxis=None if _recurrent(bc) else -1)
         if bc.decoders is not None and bc.learned_slot is None:
             # decoders contract the NEURON axis (second-to-last):
             # matmul(act, D), ein("kn,knd->kd")
-            d["D"] = _p(bc.decoders, caxis=-2)
+            d["D"] = _p(bc.decoders, caxis=None if _recurrent(bc) else -2)
         conn_const[str(bc.index)] = d
     probe_const = {}
     for bp in model.probes:

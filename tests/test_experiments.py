@@ -221,6 +221,40 @@ class TestKidnappedRobotSmoke:
         assert {"events", "false_triggers", "detect_s",
                 "recovery_exit_s"} <= set(auto)
 
+    def test_view_model_in_model_cpu(self):
+        """--model view: the auto-recovery controller on the view-cell
+        family (round-5 port); same mechanics contract as the landmark
+        family."""
+        import json
+        out = run_script("kidnapped_robot.py", [
+            "--cpu", "--model", "view", "--in-model", "--T", "12",
+            "--limit", "0.5", "--ssp-dim", "31", "--n-landmarks", "8",
+            "--pi-n-neurons", "80", "--mem-n-neurons", "120",
+            "--circonv-n-neurons", "30", "--view-rad", "0.4",
+            "--min-jump", "0.4"], timeout=900)
+        line = json.loads(out.strip().splitlines()[-1])
+        assert line["model"] == "view"
+        assert line["auto"]["mode"] == "in_model"
+
+    def test_3d_derived_thresholds_cpu(self):
+        """--domain-dim 3 --auto-derive: the scaled-config probe derives
+        the detection thresholds from the space's similarity kernel
+        instead of hand constants, and they land in sane ranges."""
+        import json
+        out = run_script("kidnapped_robot.py", [
+            "--cpu", "--in-model", "--auto-derive", "--T", "10",
+            "--limit", "0.6", "--domain-dim", "3", "--length-scale",
+            "0.3", "--ssp-dim", "41", "--n-landmarks", "8",
+            "--pi-n-neurons", "60", "--mem-n-neurons", "100",
+            "--circonv-n-neurons", "20", "--view-rad", "0.4",
+            "--min-jump", "0.4"], timeout=1200)
+        line = json.loads(out.strip().splitlines()[-1])
+        assert line["domain_dim"] == 3
+        th = line["derived_thresholds"]
+        # K is monotone-decreasing: trigger=K(vr) < cons < exit-ish bands
+        assert 0.0 < th["trigger"] < th["cons_trigger"] < 1.0
+        assert 0.2 < th["exit"] < 1.0
+
 
 class TestMapMergeSmoke:
     def test_tiny_cpu(self):
