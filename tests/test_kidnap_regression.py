@@ -1,0 +1,61 @@
+"""Regression net for the autonomous kidnap-detection science
+(VALIDATION.md "Kidnapped-robot relocalization").
+
+Reduced-scale analogue of the committed 5-seed protocol, in the
+test_headline.py pattern: the in-model controller (gate_mode=
+'auto_recovery', a stateful node in the compiled step) must
+* stay silent through phase A (zero false triggers while the map is
+  learned and tracking is healthy),
+* detect the teleport within a bounded window, and
+* end up better off than the strict reference gate, which provably
+  blocks its own rescue after a far teleport.
+
+Scale choice (measured, /tmp-probe then pinned here): ssp_dim=55,
+250/500-neuron populations, T=60 s with the kidnap at 30 s — long enough
+for the map to establish (pre-err 0.10) and for the +0.86 teleport's
+agreement dip to be seen by the controller (detected at +18.3 s with the
+committed thresholds), short enough for CPU CI (~5 min).  At this scale
+the cons(recall, value) channel stays high (few familiar re-encounters),
+so detection rides the agreement EMA — the assertions cover the
+controller contract, not which channel fires; the channel-level science
+is pinned at full scale in VALIDATION.md.  A LONGER phase A at this toy
+scale erases the dip before the EMA sees it (measured: T=100/kidnap 50
+never detects) — the reduced protocol needs the kidnap mid-learning.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_in_model_detection_and_recovery_direction():
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(ROOT, "experiments", "kidnapped_robot.py"),
+         "--cpu", "--in-model", "--T", "60", "--ssp-dim", "55",
+         "--pi-n-neurons", "250", "--mem-n-neurons", "500",
+         "--circonv-n-neurons", "50", "--n-landmarks", "30",
+         "--view-rad", "0.3", "--seed", "0"],
+        capture_output=True, text=True, timeout=3000, cwd=ROOT)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    r = json.loads([l for l in proc.stdout.splitlines()
+                    if l.startswith("{")][-1])
+    # the probe found a real teleport (measured 0.864)
+    assert r["jump"] > 0.5, r
+    auto = r["auto"]
+    # phase A silence: the armed controller must not cry wolf while the
+    # map is being learned (measured 0)
+    assert auto["false_triggers"] == 0, auto
+    # detection within the window (measured +18.3 s of the 30 s phase B)
+    assert auto["detect_s"] is not None, auto
+    assert auto["detect_s"] <= 27.0, auto
+    # direction: the self-healing gate must beat the strict gate after
+    # the kidnap (measured 0.66 vs 1.03; strict stays lost)
+    assert r["adaptive"]["post_err"] < r["strict"]["post_err"], r
+    assert r["strict"]["post_err"] > 0.5, r
