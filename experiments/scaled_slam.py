@@ -428,7 +428,8 @@ def main():
         os.makedirs(args.save_dir, exist_ok=True)
         fn = os.path.join(args.save_dir,
                           f"scaled_slam_d{d}_dim{dim}_"
-                          f"mem{args.mem_n_neurons}_B{B}_T{int(args.T)}.npz")
+                          f"mem{args.mem_n_neurons}_B{B}_T{int(args.T)}"
+                          f"_{pd}.npz")
         np.savez(fn, slam_out=probes[slam_p],
                  pi_out=(probes[pi_p] if pi_p else np.array([])),
                  paths=np.stack(paths), meta=np.array([json.dumps(out)]))

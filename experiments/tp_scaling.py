@@ -205,7 +205,7 @@ def main():
         rep = replicated(mesh)
         fn = jax.jit(scan_fn,
                      in_shardings=(shardings, [rep] * len(xs_cols),
-                                   params_shardings(params, mesh)))
+                                   params_shardings(params, mesh, model=model)))
         lowered = fn.lower(state0, xs_cols, params)
         compiled = lowered.compile()
         cost = compiled.cost_analysis()

@@ -153,7 +153,7 @@ def save_bundle(sim, path: str, segment_steps: int = 1000,
         from ..parallel.sharding import (params_shardings, replicated,
                                          state_shardings)
         st_sh = state_shardings(sim.model, sim.mesh)
-        p_sh = params_shardings(sim.params, sim.mesh)
+        p_sh = params_shardings(sim.params, sim.mesh, model=sim.model)
         jitted = jax.jit(run_segment,
                          in_shardings=(st_sh, replicated(sim.mesh), p_sh))
         mesh_meta = {

@@ -151,7 +151,8 @@ class Simulator:
                                              state_shardings)
             sh = state_shardings(self.model, self.mesh)
             rep = replicated(self.mesh)
-            params_sh = params_shardings(self.params, self.mesh)
+            params_sh = params_shardings(self.params, self.mesh,
+                                         model=self.model)
             return jax.jit(fn,
                            in_shardings=(sh,) + (rep,) * n_rep_args
                            + (params_sh,),
