@@ -130,6 +130,12 @@ def main():
                          "  At the flagship config this REPRODUCES the "
                          "measured hand constants (derived 0.22/0.58/0.47 "
                          "vs hand 0.2/0.6/0.5)")
+    ap.add_argument("--cleanup-samples", type=int, default=100,
+                    help="clean-up bank samples per domain axis.  NOTE: "
+                         "the default is the reference's 100/dim; in 3-D "
+                         "that is a 10^6-row bank baked per model "
+                         "(~0.8 GB, ~400 MFLOP/step) — 20-30 is the "
+                         "scaled_slam-validated setting")
     ap.add_argument("--n-landmarks", type=int, default=50)
     ap.add_argument("--view-rad", type=float, default=0.2)
     ap.add_argument("--pi-n-neurons", type=int, default=800)
@@ -321,6 +327,7 @@ def main():
             voja_learning_rate=args.voja_lr,
             pes_learning_rate=args.pes_lr,
             vel_scaling_factor=scale, seed=args.seed,
+            cleanup_samples_per_dim=args.cleanup_samples,
             gate_mode=gate_mode, gate_kwargs=gk)
         if args.model == "view":
             slam = SLAMViewNetwork(
