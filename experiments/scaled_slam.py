@@ -131,6 +131,12 @@ def main():
                          "in 3-D; the reference's 100/dim grid would be a "
                          "10^6-row bank, SURVEY.md 'hard parts')")
     ap.add_argument("--decode-grid", type=int, default=30)
+    ap.add_argument("--gate-mode", default="reference",
+                    choices=["reference", "auto_recovery"],
+                    help="auto_recovery compiles the in-model tracking-"
+                         "loss controller into the step — the d=393 f32 "
+                         "runs show LATE losses (final err 0.8-1.4 on "
+                         "2/4 seeds) the reference gate cannot rescue")
     ap.add_argument("--decode-method", default="from-set",
                     choices=["from-set", "direct-optim"],
                     help="offline readout: direct-optim adds the batched "
@@ -234,7 +240,8 @@ def main():
             update_thres=args.update_thres, shift_rate=args.shift_rate,
             voja_learning_rate=args.voja_lr, pes_learning_rate=args.pes_lr,
             intercept=args.intercept, vel_scaling_factor=shared_scale,
-            cleanup_samples_per_dim=args.cleanup_samples, seed=seeds[0])
+            cleanup_samples_per_dim=args.cleanup_samples, seed=seeds[0],
+            gate_mode=args.gate_mode)
         Connection(vel, slam.velocity_input, synapse=None)
         Connection(init, slam.pathintegrator.input, synapse=None)
         Connection(lm_id, slam.landmark_id_input, synapse=None)
