@@ -263,3 +263,91 @@ class TestMeshPadding:
         actB = np.asarray(simB.data[paB])
         assert actA.shape == actB.shape == (n, 77)
         assert np.array_equal(actA, actB)
+
+
+class TestParamsShardings:
+    """Model-aware parameter-bank shardings (round 5): the large static
+    banks shard along the same axis the owning ensemble's carry shards
+    over — this is what makes TP divide the parameter-read HBM bytes
+    that bind single-chip throughput at d>=385 (docs/MULTICHIP.md)."""
+
+    def _build(self, space, matmul_dtype=None):
+        net, p = make_pi_net(space, seed=0)
+        mesh = make_mesh(4)
+        sim = Simulator(net, seed=0, mesh=mesh, matmul_dtype=matmul_dtype)
+        from sspslam_tpu.parallel.sharding import params_shardings
+        sh = params_shardings(sim.params, mesh, model=sim.model)
+        return sim, sh
+
+    def test_vco_bank_shards_element_axis(self, space):
+        sim, sh = self._build(space)
+        # the VCO bank is batched with k padded to a mesh multiple: its
+        # encoders must shard the leading (element) axis
+        from jax.sharding import PartitionSpec as P
+        found = False
+        for i, be in enumerate(sim.model.ensembles):
+            if be.batched and be.k % 4 == 0:
+                spec = sh["ens"][i]["scaled_encoders"].spec
+                assert spec == P("model", None, None), spec
+                found = True
+        assert found, "no shardable batched bank in the PI model"
+
+    def test_member_slice_decoders_replicate(self, space):
+        sim, sh = self._build(space)
+        from jax.sharding import PartitionSpec as P
+        import numpy as np_
+        for bc in sim.model.connections:
+            entry = sim.params["conn"].get(str(bc.index), {})
+            D = entry.get("D")
+            if D is None or bc.learned_slot is not None:
+                continue
+            spec = sh["conn"][str(bc.index)]["D"].spec
+            shape = D.q.shape if hasattr(D, "q") else np_.shape(D)
+            for ax, name in enumerate(spec):
+                if name is not None:
+                    # any sharded axis must actually divide
+                    assert shape[ax] % 4 == 0, (shape, spec)
+
+    def test_quantized_banks_shard_payload_and_scale(self):
+        # a model whose contracted axes clear the quantization floor:
+        # 64-neuron, 40-dim ensemble -> encoders (64, 40) contract 40
+        # (shard the neuron rows), decoders (64, 40) contract 64 (the
+        # shard axis IS the contracted one -> payload shards, the
+        # per-slice scale replicates)
+        from jax.sharding import PartitionSpec as P
+        from sspslam_tpu.ops.quantize import QTensor
+        with Network(seed=0) as net:
+            src = Node(lambda t: np.zeros(40))
+            ens = Ensemble(64, 40, neuron_type=LIFRate())
+            out = Node(size_in=40)
+            Connection(src, ens, synapse=None)
+            Connection(ens, out, synapse=0.01)
+        mesh = make_mesh(4)
+        sim = Simulator(net, seed=0, mesh=mesh, matmul_dtype="int8")
+        from sspslam_tpu.parallel.sharding import params_shardings
+        sh = params_shardings(sim.params, mesh, model=sim.model)
+        (i,) = [i for i, be in enumerate(sim.model.ensembles)]
+        enc, enc_sh = (sim.params["ens"][i]["scaled_encoders"],
+                       sh["ens"][i]["scaled_encoders"])
+        assert isinstance(enc, QTensor) and isinstance(enc_sh, QTensor)
+        assert enc_sh.q.spec == P("model", None)
+        assert enc_sh.s.spec == P("model")
+        d_entries = [(sim.params["conn"][k]["D"], sh["conn"][k]["D"])
+                     for k in sim.params["conn"]
+                     if "D" in sim.params["conn"][k]]
+        assert d_entries
+        for d_p, d_sh in d_entries:
+            assert isinstance(d_p, QTensor) and isinstance(d_sh, QTensor)
+            assert d_sh.q.spec == P("model", None)
+            assert d_sh.s.spec == P()   # scale has no neuron axis left
+
+    def test_sharded_quantized_run_matches_unsharded(self, space):
+        net, p = make_pi_net(space, seed=0)
+        sim1 = Simulator(net, seed=0, matmul_dtype="int8")
+        sim1.run(0.1)
+        ref = sim1.data[p]
+        net2, p2 = make_pi_net(space, seed=0)
+        sim2 = Simulator(net2, seed=0, mesh=make_mesh(4),
+                         matmul_dtype="int8")
+        sim2.run(0.1)
+        assert np.allclose(ref, sim2.data[p2], atol=5e-4)
