@@ -152,8 +152,11 @@ def build_params(model: Model, matmul_dtype=None):
         # 0.4%-of-amax int8 rounding compounds where a feedforward path
         # sees it once; and the bank is a negligible fraction of the
         # parameter bytes at scale (the 10k-neuron memory/OVC banks
-        # dominate).  Keep it in the cast dtype — ~4x traffic cut on the
-        # dominant banks either way.
+        # dominate).  Keep it in the cast dtype — measured at d=393,
+        # int8-everywhere lost tracking on 1/4 seeds (0.83 median) while
+        # int8-except-recurrence holds f32 parity (0.094 vs 0.090
+        # overall, VALIDATION.md) at the same ~4x traffic cut on the
+        # dominant banks.
         return (bc.post_kind in ("ens", "ea_elem", "ea_batch", "neurons")
                 and getattr(bc.post, "index", None) is not None
                 and getattr(bc.pre, "index", "x") == bc.post.index
