@@ -226,6 +226,29 @@ def main():
     ap.add_argument("--recovered-below", type=float, default=None,
                     help="recovery threshold on decoded distance error "
                          "(default: the view radius)")
+    ap.add_argument("--anchor", action="store_true",
+                    help="give the in-model controller one landmark with a "
+                         "KNOWN allocentric pose (a surveyed beacon): adds "
+                         "an absolute agreement channel cos(pi (x) vec, "
+                         "phi(L0)) that measures the pose against the "
+                         "WORLD instead of the learned map — the remedy "
+                         "for both measured observability limits (the "
+                         "masked 2x-vr kidnap, VALIDATION 'Part 8b', and "
+                         "the co-drifting map).  During recovery the "
+                         "correction pulls toward the map-independent "
+                         "absolute pose whenever the anchor is in view. "
+                         "Landmark family + --in-model only")
+    ap.add_argument("--anchor-lm", type=int, default=None,
+                    help="survey exactly this one landmark instead of the "
+                         "top --anchor-k (diagnostics)")
+    ap.add_argument("--anchor-k", type=int, default=10,
+                    help="how many landmarks are surveyed (default 10 = "
+                         "10%% of the scaled config's 100): chosen as the "
+                         "most-often-nearest-in-view during the PRE-kidnap "
+                         "phase — leak-free, where a deployment would "
+                         "survey.  One anchor starves the evidence EMA "
+                         "under single-nearest presentation (measured "
+                         "0-1.4%% post-kidnap duty at 3-D/100 landmarks)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke tests)")
     ap.add_argument("--dump", type=str, default=None,
@@ -301,6 +324,35 @@ def main():
               f"exit={args.auto_exit}, "
               f"cons-trigger={args.auto_cons_trigger}", flush=True)
 
+    anchor, anchor_stats = None, None
+    if args.anchor:
+        if args.model == "view" or not args.in_model:
+            raise SystemExit("--anchor requires --model landmark and "
+                             "--in-model (the anchor channels live in the "
+                             "in-model auto-recovery gate)")
+        dists_all = np.linalg.norm(vec_to_landmarks, axis=2)
+        nearest_all = dists_all.argmin(axis=1)
+        iv_all = dists_all[np.arange(n_steps), nearest_all] <= args.view_rad
+        if args.anchor_lm is None:
+            counts = np.bincount(nearest_all[:k_step][iv_all[:k_step]],
+                                 minlength=args.n_landmarks)
+            anchor_lms = np.argsort(counts)[::-1][:args.anchor_k]
+            anchor_lms = np.sort(anchor_lms[counts[anchor_lms] > 0])
+        else:
+            anchor_lms = np.array([args.anchor_lm])
+        anchor = (lm_space.vectors[anchor_lms],
+                  space.encode(obj_locs[anchor_lms]))
+        seen = np.isin(nearest_all, anchor_lms) & iv_all
+        pre_f = float(seen[:k_step].mean())
+        post_f = float(seen[k_step:].mean())
+        anchor_stats = {"landmarks": anchor_lms.tolist(),
+                        "in_view_frac_pre": round(pre_f, 4),
+                        "in_view_frac_post": round(post_f, 4)}
+        print(f"anchor: {len(anchor_lms)} surveyed landmarks "
+              f"{anchor_lms.tolist()} (nearest-in-view "
+              f"{100 * pre_f:.1f}% of phase A, {100 * post_f:.1f}% of "
+              "phase B)", flush=True)
+
     if args.model == "view":
         (vel_f, scale, in_view_f, view_f) = get_slamview_input_functions(
             space, lm_space, vels, vec_to_landmarks, args.view_rad)
@@ -322,6 +374,11 @@ def main():
                   "cons_trigger": (0.5 if args.auto_cons_trigger is None
                                    else args.auto_cons_trigger),
                   "cons_ema_tau": args.auto_cons_ema_tau}
+            if anchor is not None:
+                # same K(vr) rationale as the agreement trigger: healthy
+                # pose error stays under ~vr/2 (absolute agreement >=
+                # K(vr/2)), the designed minimum detectable loss is vr
+                gk["anchor_trigger"] = args.auto_trigger
         common = dict(
             update_thres=args.update_thres, shift_rate=args.shift_rate,
             voja_learning_rate=args.voja_lr,
@@ -339,7 +396,9 @@ def main():
             slam = SLAMNetwork(
                 space, lm_space, args.view_rad, args.n_landmarks,
                 args.pi_n_neurons, args.mem_n_neurons,
-                args.circonv_n_neurons, intercept=args.intercept, **common)
+                args.circonv_n_neurons, intercept=args.intercept,
+                anchor=(anchor if gate_mode == "auto_recovery" else None),
+                **common)
             Connection(lm_id, slam.landmark_id_input, synapse=None)
             Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
         Connection(vel, slam.velocity_input, synapse=None)
@@ -661,6 +720,8 @@ def main():
               "recovered_below": rec_thresh}
     if auto_stats is not None:
         result["auto"] = auto_stats
+    if anchor_stats is not None:
+        result["anchor"] = anchor_stats
     if args.auto_derive:
         result["derived_thresholds"] = {
             "trigger": args.auto_trigger, "exit": args.auto_exit,

@@ -64,11 +64,22 @@ def make_crossover_path(T, dt, limit, seed, start_side):
             p[:, j] = (p[:, j] - lo) / max(hi - lo, 1e-12) \
                 * (hi_t - lo_t) + lo_t
         segs.append(p)
-    # join continuously: shift phase 2 to start where phase 1 ended in y
-    # (x necessarily jumps across the midline; bridge with a short linear
-    # ramp so velocities stay band-limited-ish)
+    # join continuously: phase 2 necessarily starts across the midline, so
+    # bridge with a linear ramp.  The bridge SPEED must stay inside the
+    # trajectory's own velocity range: the model bakes a shared velocity
+    # scale 1/max|Av| over the whole path, and a fast fixed-duration
+    # bridge (the original 1 s ramp hit |Av| 3.4-5.2 vs a p99 of ~1.5)
+    # compresses every agent's explore-phase drive ~3x into the path
+    # integrator's low-SNR regime — measured root cause of the seed-1
+    # phase-A failures (VALIDATION "Live merge", world-fragility
+    # follow-up): failures tracked the baked scale across path swaps, not
+    # the world or the trajectory.  Size the ramp so its speed matches the
+    # explore phase's p90 speed instead.
     a, b = segs
-    bridge_steps = int(1.0 / dt)
+    va = np.linalg.norm(np.diff(a, axis=0), axis=1) / dt
+    v_ref = max(float(np.percentile(va, 90)), 1e-3)
+    dist = float(np.linalg.norm(b[0] - a[-1]))
+    bridge_steps = max(int(1.0 / dt), int(dist / v_ref / dt))
     ramp = np.linspace(0, 1, bridge_steps)[:, None]
     bridge = a[-1] * (1 - ramp) + b[0] * ramp
     path = np.concatenate([a, bridge, b])[:n]
@@ -83,6 +94,11 @@ def main():
                     help="map-exchange period (simulated seconds); also "
                          "the scan segment length")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--a-path-seed", type=int, default=None,
+                    help="override agent A's trajectory seed while keeping "
+                         "the world (landmarks/space/SP draws) at --seed — "
+                         "isolates path-vs-world attribution when a seed "
+                         "fails phase A (diagnostic)")
     ap.add_argument("--ssp-dim", type=int, default=97)
     ap.add_argument("--n-landmarks", type=int, default=50)
     ap.add_argument("--view-rad", type=float, default=0.2)
@@ -111,7 +127,8 @@ def main():
     n_cross = n_steps - (2 * n_steps) // 3   # crossover phase length
     radius = 1.0
 
-    paths = [make_crossover_path(args.T, dt, args.limit, args.seed, -1),
+    a_seed = args.seed if args.a_path_seed is None else args.a_path_seed
+    paths = [make_crossover_path(args.T, dt, args.limit, a_seed, -1),
              make_crossover_path(args.T, dt, args.limit, args.seed + 500,
                                  +1)]
     B = len(paths)

@@ -208,7 +208,9 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
                                  exit_thres=0.6, familiar=0.25,
                                  ema_tau=0.5, recovery_T=25.0,
                                  arm_at_start=False, cons_trigger=0.5,
-                                 cons_ema_tau=0.25, recovery_decay=True):
+                                 cons_ema_tau=0.25, recovery_decay=True,
+                                 anchor_ssp=None, anchor_id=None,
+                                 anchor_trigger=0.2, anchor_match=0.7):
     """Self-healing correction gate (no reference counterpart).
 
     Extends the reference gate (slam.py:233-237) with an IN-MODEL
@@ -266,10 +268,51 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
     recall(d), err(d), no_view(1)]`` (``err`` = the memory's PES error
     population output); outputs ``[correction(d), suppress(1)]``.
     All thresholds/rates are hoisted traced params.
+
+    **Absolute anchor (optional, ``anchor_ssp``/``anchor_id``).**  Both
+    measured observability limits of the internal channels — the
+    co-drifting map at d=393 (map and pose agree with each other but
+    not the world) and the scaled 2x-view-radius kidnap (the signature
+    lives in the ~1 s window the familiarity floor masks; VALIDATION
+    "Part 8b") — are invisible to ANY statistic built from the model's
+    own state.  The principled fix is one landmark whose allocentric
+    position is known at build time (a surveyed beacon — the analog of
+    the reference's Loihi deployment assumption of a known start pose,
+    run_slam.py).  ``anchor_ssp``/``anchor_id`` accept one vector (d,) or
+    a surveyed SET (K, d) — at scale a set is required: with
+    single-nearest presentation each landmark feeds the gate only ~1/L of
+    the time.  With anchors the gate gains two extra d-dim inputs
+    ``[lm_id(d), vec_ssp(d)]`` (input size 6d+1) and one state element:
+
+    * **absolute agreement** ``cos(pi (x) vec_ssp, phi(L0))`` whenever
+      the landmark in view IS the anchor (``cos(lm_id, anchor_id) >
+      anchor_match``) — this equals K(pose error) directly, measuring
+      the pose against the WORLD rather than against the map, so it
+      dips for co-drift and masked kidnaps alike; EMA'd
+      (``cons_ema_tau``), held across non-anchor steps, trigger below
+      ``anchor_trigger`` (derive as K(view_rad), same rationale as the
+      consistency trigger);
+    * **absolute correction**: during recovery, while the anchor is in
+      view, the correction pulls toward ``phi(x_true) = ~vec_ssp (x)
+      phi(L0)`` (unbind of two inputs that do not pass through the
+      learned map) instead of the map's position estimate — a wrong map
+      cannot poison the recovery.
     """
     alpha = float(dt / ema_tau)
     alpha_c = float(dt / cons_ema_tau)
     R = float(recovery_T / dt)
+    has_anchor = anchor_ssp is not None
+    if has_anchor:
+        # accept one surveyed landmark (d,) or a set (K, d).  A set is the
+        # realistic deployment at scale: with single-nearest landmark
+        # presentation each landmark is in the gate's view only ~1/L of
+        # the time (measured 0-1.4% post-kidnap at the 3-D 100-landmark
+        # config), so one anchor starves the evidence EMA; surveying ~10%
+        # of landmarks restores a usable duty cycle
+        anchor_ssp = np.atleast_2d(np.asarray(anchor_ssp, np.float32))
+        anchor_id = np.atleast_2d(np.asarray(anchor_id, np.float32))
+        assert anchor_ssp.shape == anchor_id.shape and \
+            anchor_ssp.shape[1] == d, (anchor_ssp.shape, anchor_id.shape)
 
     def gate(t, x, s, consts):
         thr = consts["update_thres"]
@@ -301,8 +344,28 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
                              (1 - alpha_c) * s[3] + alpha_c * cons, s[3])
         armed = jnp.maximum(s[0], (ema >= exitt).astype(jnp.float32))
         timer = jnp.maximum(s[2] - 1.0, 0.0)
-        lost = (ema < trig) | (cons_ema < cons_trig)
-        trigger_now = (armed > 0) & lost & (timer <= 0) & conclusive
+        lost = ((ema < trig) | (cons_ema < cons_trig)) & conclusive
+        if has_anchor:
+            lm_id = x[4 * d:5 * d]
+            vec_ssp = x[5 * d:6 * d]
+            anc_ids = consts["anchor_id"]        # (K, d)
+            anc_ssps = consts["anchor_ssp"]      # (K, d)
+            a_trig = consts["anchor_trigger"]
+            id_cos = (anc_ids @ lm_id
+                      / (jnp.linalg.norm(anc_ids, axis=1)
+                         * jnp.linalg.norm(lm_id) + 1e-9))
+            kbest = jnp.argmax(id_cos)
+            anchor_seen = in_view & (id_cos[kbest] > anchor_match)
+            anc = anc_ssps[kbest]
+            bound = vsa.bind(pi_est, vec_ssp)
+            a_agree = (jnp.sum(bound * anc)
+                       / (jnp.linalg.norm(bound)
+                          * jnp.linalg.norm(anc) + 1e-9))
+            a_ema = jnp.where(anchor_seen,
+                              (1 - alpha_c) * s[4] + alpha_c * a_agree,
+                              s[4])
+            lost = lost | ((a_ema < a_trig) & anchor_seen)
+        trigger_now = (armed > 0) & lost & (timer <= 0)
         timer = jnp.where(trigger_now, R, timer)
         in_rec = timer > 0
         # entering recovery resets the consistency evidence: learning is
@@ -312,20 +375,28 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         cons_ema = jnp.where(trigger_now, 1.0, cons_ema)
         gate_ok = in_view & ((dot > thr) | in_rec)
         rsr_eff = (sr + (rsr - sr) * timer / R) if recovery_decay else rsr
+        target = pos_est - pi_est
+        if has_anchor:
+            a_ema = jnp.where(trigger_now, 1.0, a_ema)
+            pose_abs = vsa.unbind(vec_ssp, anc)
+            target = jnp.where(in_rec & anchor_seen,
+                               pose_abs - pi_est, target)
         corr = jnp.where(gate_ok,
-                         jnp.where(in_rec, rsr_eff, sr)
-                         * (pos_est - pi_est),
+                         jnp.where(in_rec, rsr_eff, sr) * target,
                          jnp.zeros(d, jnp.float32))
         suppress = jnp.where(in_rec, 10.0, 0.0)
         out = jnp.concatenate([corr, suppress[None]])
-        return out, jnp.stack([armed, ema, timer, cons_ema])
+        state = [armed, ema, timer, cons_ema] + ([a_ema] if has_anchor
+                                                 else [])
+        return out, jnp.stack(state)
 
     # trusted-map / localization mode: a pre-learned map was injected and
     # the agent may start outside its coverage, so waiting for tracking to
     # be established first (the arming latch) would lock the gate out —
     # start armed instead
     gate.state_init = np.array(
-        [1.0 if arm_at_start else 0.0, 0.0, 0.0, 1.0], np.float32)
+        [1.0 if arm_at_start else 0.0, 0.0, 0.0, 1.0]
+        + ([1.0] if has_anchor else []), np.float32)
     gate.hoisted_consts = {
         "update_thres": np.float32(update_thres),
         "shift_rate": np.float32(shift_rate),
@@ -335,6 +406,12 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         "familiar": np.float32(familiar),
         "cons_trigger": np.float32(cons_trigger),
     }
+    if has_anchor:
+        gate.hoisted_consts.update({
+            "anchor_ssp": anchor_ssp,
+            "anchor_id": anchor_id,
+            "anchor_trigger": np.float32(anchor_trigger),
+        })
 
     def _gate_np(t, x, s, consts):
         thr, sr = float(consts["update_thres"]), float(consts["shift_rate"])
@@ -361,17 +438,47 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
             cons_ema = (1 - alpha_c) * cons_ema + alpha_c * cons
         armed = max(armed, float(ema >= exitt))
         timer = max(timer - 1.0, 0.0)
-        if (armed > 0 and (ema < trig or cons_ema < cons_trig)
-                and timer <= 0 and conclusive):
+        lost = (ema < trig or cons_ema < cons_trig) and conclusive
+        anchor_seen = False
+        anc = None
+        a_ema = float(s[4]) if has_anchor else 1.0
+        if has_anchor:
+            lm_id, vec_ssp = x[4 * d:5 * d], x[5 * d:6 * d]
+            anc_ssps = np.asarray(consts["anchor_ssp"], np.float64)
+            anc_ids = np.asarray(consts["anchor_id"], np.float64)
+            a_trig = float(consts["anchor_trigger"])
+            id_cos = (anc_ids @ lm_id
+                      / (np.linalg.norm(anc_ids, axis=1)
+                         * np.linalg.norm(lm_id) + 1e-9))
+            kbest = int(np.argmax(id_cos))
+            anc = anc_ssps[kbest]
+            anchor_seen = in_view and float(id_cos[kbest]) > anchor_match
+            if anchor_seen:
+                bound = np.fft.ifft(np.fft.fft(pi_est)
+                                    * np.fft.fft(vec_ssp)).real
+                a_agree = float(bound @ anc) / float(
+                    np.linalg.norm(bound) * np.linalg.norm(anc) + 1e-9)
+                a_ema = (1 - alpha_c) * a_ema + alpha_c * a_agree
+                lost = lost or a_ema < a_trig
+        if armed > 0 and lost and timer <= 0:
             timer = R
             cons_ema = 1.0
+            a_ema = 1.0
         in_rec = timer > 0
         out = np.zeros(d + 1, np.float32)
         rsr_eff = (sr + (rsr - sr) * timer / R) if recovery_decay else rsr
         if in_view and (dot > thr or in_rec):
-            out[:d] = (rsr_eff if in_rec else sr) * (pos_est - pi_est)
+            target = pos_est - pi_est
+            if has_anchor and in_rec and anchor_seen:
+                pose_abs = np.fft.ifft(
+                    np.conj(np.fft.fft(x[5 * d:6 * d]))
+                    * np.fft.fft(anc)).real
+                target = pose_abs - pi_est
+            out[:d] = (rsr_eff if in_rec else sr) * target
         out[d] = 10.0 if in_rec else 0.0
-        return out, np.array([armed, ema, timer, cons_ema], np.float32)
+        state = [armed, ema, timer, cons_ema] + ([a_ema] if has_anchor
+                                                 else [])
+        return out, np.array(state, np.float32)
 
     gate.np_function = _gate_np
     return gate
@@ -418,7 +525,7 @@ class SLAMNetwork(Network):
                  clean_up_method="grid", gc_n_neurons=0, encoders=None,
                  voja=True, seed=0, landmark_sps=None, intercept=None,
                  cleanup_samples_per_dim=100, gate_mode="reference",
-                 gate_kwargs=None, label="slam"):
+                 gate_kwargs=None, anchor=None, label="slam"):
         super().__init__(label=label, seed=seed)
 
         domain_dim = ssp_space.domain_dim
@@ -449,11 +556,26 @@ class SLAMNetwork(Network):
         self.clean_up_fun = clean_up_fun
 
         if gate_mode == "auto_recovery":
+            gk = dict(gate_kwargs or {})
+            if anchor is not None:
+                # anchor = (anchor_id_sp, anchor_pos_ssp): the SP identity
+                # of the surveyed landmark and the SSP of its KNOWN
+                # allocentric position (see the gate docstring)
+                anchor_id_sp, anchor_pos_ssp = anchor
+                gk.setdefault("anchor_id", np.asarray(anchor_id_sp,
+                                                      np.float32))
+                gk.setdefault("anchor_ssp", np.asarray(anchor_pos_ssp,
+                                                       np.float32))
             update_state_func = make_auto_recovery_gate_func(
-                update_thres, shift_rate, d, **(gate_kwargs or {}))
-            gate_in, gate_out = 4 * d + 1, d + 1
+                update_thres, shift_rate, d, **gk)
+            gate_in = (6 * d + 1) if anchor is not None else (4 * d + 1)
+            gate_out = d + 1
         else:
             assert gate_mode == "reference", gate_mode
+            if anchor is not None:
+                raise ValueError(
+                    "anchor= requires gate_mode='auto_recovery' (the "
+                    "reference gate has no detection channels to feed)")
             update_state_func = make_update_state_func(
                 update_thres, shift_rate, d)
             gate_in, gate_out = 2 * d + 1, d
@@ -584,6 +706,16 @@ class SLAMNetwork(Network):
                 # docstring)
                 Connection(self.assomemory.error,
                            self.update_state[3 * d:4 * d], synapse=ev_tau)
+                if anchor is not None:
+                    # absolute-anchor channels: raw model inputs (table
+                    # driven, not learned state) — the landmark identity
+                    # lets the gate recognise the anchor, the egocentric
+                    # vector SSP gives it the map-independent absolute
+                    # agreement statistic and recovery target
+                    Connection(self.landmark_id_input,
+                               self.update_state[4 * d:5 * d], synapse=None)
+                    Connection(self.landmark_vec_ssp,
+                               self.update_state[5 * d:6 * d], synapse=None)
                 Connection(self.update_state[d],
                            self.assomemory.error.neurons,
                            transform=-2.5 * np.ones((mem_n_neurons, 1)),

@@ -205,6 +205,24 @@ class TestKidnappedRobotSmoke:
         assert line["auto"]["mode"] == "in_model"
         assert "recovery_frac_post" in line["auto"]
 
+    def test_in_model_anchor_cpu(self):
+        """--anchor: the absolute-anchor channels (surveyed-beacon
+        landmark) compile into the in-model gate; the JSON reports the
+        chosen landmark and its in-view coverage."""
+        import json
+        out = run_script("kidnapped_robot.py", [
+            "--cpu", "--in-model", "--anchor", "--T", "12", "--limit",
+            "0.5", "--ssp-dim", "31", "--n-landmarks", "8",
+            "--pi-n-neurons", "80", "--mem-n-neurons", "120",
+            "--circonv-n-neurons", "30", "--view-rad", "0.4",
+            "--min-jump", "0.4"], timeout=900)
+        line = json.loads(out.strip().splitlines()[-1])
+        assert line["auto"]["mode"] == "in_model"
+        anc = line["anchor"]
+        assert anc["landmarks"] and all(0 <= i < 8 for i in anc["landmarks"])
+        assert anc["in_view_frac_pre"] > 0
+        assert np.isfinite(line["adaptive"]["pre_err"])
+
     def test_auto_monitor_cpu(self):
         """--auto mode: the tick monitor runs (at toy scale tracking never
         establishes, so the correct behavior is an armed=False monitor
