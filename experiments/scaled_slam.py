@@ -137,6 +137,18 @@ def main():
                          "loss controller into the step — the d=393 f32 "
                          "runs show LATE losses (final err 0.8-1.4 on "
                          "2/4 seeds) the reference gate cannot rescue")
+    ap.add_argument("--anchor-k", type=int, default=0,
+                    help="survey this many landmarks (known allocentric "
+                         "pose) and enable the gate's absolute channels "
+                         "(requires --gate-mode auto_recovery): the late "
+                         "co-drift losses are invisible to every internal "
+                         "statistic — map and pose agree with each other "
+                         "but not the world — so only a world-referenced "
+                         "channel can rescue them.  Chosen as the top-K "
+                         "most-often-nearest-in-view over the first half "
+                         "of all episodes (landmark LAYOUTS are shared "
+                         "across episodes; Rd sampling is "
+                         "seed-independent)")
     ap.add_argument("--decode-method", default="from-set",
                     choices=["from-set", "direct-optim"],
                     help="offline readout: direct-optim adds the batched "
@@ -222,6 +234,35 @@ def main():
         tables_by_seed.append(tables)
     print(f"worlds: {B} built in {time.time() - t0:.1f}s", flush=True)
 
+    anchor = None
+    if args.anchor_k > 0:
+        if args.gate_mode != "auto_recovery":
+            raise SystemExit("--anchor-k requires --gate-mode "
+                             "auto_recovery")
+        # landmark layouts are SHARED across episodes (Rd_sampling's seed
+        # is a sequence offset; integer seeds are a no-op), so one
+        # surveyed set serves every vmapped world.  Survey = top-K
+        # most-often-nearest-in-view over the first half of each episode
+        # (leak-free: the late losses live in the last third).
+        obj_locs = 0.9 * 2 * (
+            Rd_sampling(args.n_landmarks, dim, seed=seeds[0]) - 0.5)
+        counts = np.zeros(args.n_landmarks, np.int64)
+        for path in paths:
+            half = path[:n_steps // 2]
+            dists = np.linalg.norm(
+                obj_locs[None, :, :] - half[:, None, :], axis=2)
+            nearest = dists.argmin(axis=1)
+            iv = dists[np.arange(len(half)), nearest] <= args.view_rad
+            counts += np.bincount(nearest[iv],
+                                  minlength=args.n_landmarks)
+        anchor_lms = np.sort(np.argsort(counts)[::-1][:args.anchor_k])
+        anchor = (lm_space.vectors[anchor_lms],
+                  space.encode(obj_locs[anchor_lms]))
+        from experiments.kidnapped_robot import kernel_value
+        anchor_trigger = round(kernel_value(space, args.view_rad), 3)
+        print(f"anchors: {anchor_lms.tolist()} "
+              f"(trigger K(vr)={anchor_trigger})", flush=True)
+
     node_key = {}
     with Network(seed=seeds[0]) as net:
         # input nodes carry world 0; per-episode tables override them below
@@ -241,7 +282,9 @@ def main():
             voja_learning_rate=args.voja_lr, pes_learning_rate=args.pes_lr,
             intercept=args.intercept, vel_scaling_factor=shared_scale,
             cleanup_samples_per_dim=args.cleanup_samples, seed=seeds[0],
-            gate_mode=args.gate_mode)
+            gate_mode=args.gate_mode, anchor=anchor,
+            gate_kwargs=({"anchor_trigger": anchor_trigger}
+                         if anchor is not None else None))
         Connection(vel, slam.velocity_input, synapse=None)
         Connection(init, slam.pathintegrator.input, synapse=None)
         Connection(lm_id, slam.landmark_id_input, synapse=None)
