@@ -324,12 +324,13 @@ def main():
               f"exit={args.auto_exit}, "
               f"cons-trigger={args.auto_cons_trigger}", flush=True)
 
-    anchor, anchor_stats = None, None
+    anchor_tables, anchor_stats = None, None
     if args.anchor:
         if args.model == "view" or not args.in_model:
             raise SystemExit("--anchor requires --model landmark and "
                              "--in-model (the anchor channels live in the "
                              "in-model auto-recovery gate)")
+        from sspslam_tpu.models import get_anchor_input_functions
         dists_all = np.linalg.norm(vec_to_landmarks, axis=2)
         nearest_all = dists_all.argmin(axis=1)
         iv_all = dists_all[np.arange(n_steps), nearest_all] <= args.view_rad
@@ -340,16 +341,19 @@ def main():
             anchor_lms = np.sort(anchor_lms[counts[anchor_lms] > 0])
         else:
             anchor_lms = np.array([args.anchor_lm])
-        anchor = (lm_space.vectors[anchor_lms],
-                  space.encode(obj_locs[anchor_lms]))
-        seen = np.isin(nearest_all, anchor_lms) & iv_all
+        anchor_tables = get_anchor_input_functions(
+            space, vec_to_landmarks, anchor_lms, obj_locs[anchor_lms],
+            args.view_rad)
+        # duty cycle of the beacon stream: ANY surveyed landmark within
+        # the view radius (not necessarily the globally nearest)
+        seen = (dists_all[:, anchor_lms] <= args.view_rad).any(axis=1)
         pre_f = float(seen[:k_step].mean())
         post_f = float(seen[k_step:].mean())
         anchor_stats = {"landmarks": anchor_lms.tolist(),
                         "in_view_frac_pre": round(pre_f, 4),
                         "in_view_frac_post": round(post_f, 4)}
         print(f"anchor: {len(anchor_lms)} surveyed landmarks "
-              f"{anchor_lms.tolist()} (nearest-in-view "
+              f"{anchor_lms.tolist()} (beacon in view "
               f"{100 * pre_f:.1f}% of phase A, {100 * post_f:.1f}% of "
               "phase B)", flush=True)
 
@@ -374,7 +378,7 @@ def main():
                   "cons_trigger": (0.5 if args.auto_cons_trigger is None
                                    else args.auto_cons_trigger),
                   "cons_ema_tau": args.auto_cons_ema_tau}
-            if anchor is not None:
+            if anchor_tables is not None:
                 # same K(vr) rationale as the agreement trigger: healthy
                 # pose error stays under ~vr/2 (absolute agreement >=
                 # K(vr/2)), the designed minimum detectable loss is vr
@@ -393,14 +397,19 @@ def main():
                 args.circonv_n_neurons, **common)
             Connection(view_node, slam.view_input, synapse=None)
         else:
+            use_anchor = (anchor_tables is not None
+                          and gate_mode == "auto_recovery")
             slam = SLAMNetwork(
                 space, lm_space, args.view_rad, args.n_landmarks,
                 args.pi_n_neurons, args.mem_n_neurons,
                 args.circonv_n_neurons, intercept=args.intercept,
-                anchor=(anchor if gate_mode == "auto_recovery" else None),
-                **common)
+                anchor=use_anchor, **common)
             Connection(lm_id, slam.landmark_id_input, synapse=None)
             Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
+            if use_anchor:
+                Connection(anc_pos, slam.anchor_pos_input, synapse=None)
+                Connection(anc_vec, slam.anchor_vec_ssp, synapse=None)
+                Connection(anc_iv, slam.no_anchor_in_view, synapse=None)
         Connection(vel, slam.velocity_input, synapse=None)
         Connection(init_node, slam.pathintegrator.input, synapse=None)
         Connection(in_view, slam.no_landmark_in_view, synapse=None)
@@ -417,6 +426,10 @@ def main():
             lm_id = Node(sp_f)
             lm_ssp = Node(vecssp_f)
         in_view = Node(in_view_f)
+        if anchor_tables is not None:
+            anc_pos = Node(anchor_tables[0])
+            anc_vec = Node(anchor_tables[1])
+            anc_iv = Node(anchor_tables[2])
         probes = {}
         _, probes["strict"] = add_slam()            # hoisted key h0
         adaptive, probes["adaptive"] = add_slam(adaptive_mode)  # key h1

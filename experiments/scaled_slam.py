@@ -234,8 +234,8 @@ def main():
         tables_by_seed.append(tables)
     print(f"worlds: {B} built in {time.time() - t0:.1f}s", flush=True)
 
-    anchor = None
-    if args.anchor_k > 0:
+    use_anchor = args.anchor_k > 0
+    if use_anchor:
         if args.gate_mode != "auto_recovery":
             raise SystemExit("--anchor-k requires --gate-mode "
                              "auto_recovery")
@@ -243,7 +243,9 @@ def main():
         # is a sequence offset; integer seeds are a no-op), so one
         # surveyed set serves every vmapped world.  Survey = top-K
         # most-often-nearest-in-view over the first half of each episode
-        # (leak-free: the late losses live in the last third).
+        # (leak-free: the late losses live in the last third).  Each
+        # episode renders its own beacon tables (paths differ).
+        from sspslam_tpu.models import get_anchor_input_functions
         obj_locs = 0.9 * 2 * (
             Rd_sampling(args.n_landmarks, dim, seed=seeds[0]) - 0.5)
         counts = np.zeros(args.n_landmarks, np.int64)
@@ -256,12 +258,21 @@ def main():
             counts += np.bincount(nearest[iv],
                                   minlength=args.n_landmarks)
         anchor_lms = np.sort(np.argsort(counts)[::-1][:args.anchor_k])
-        anchor = (lm_space.vectors[anchor_lms],
-                  space.encode(obj_locs[anchor_lms]))
+        for path, tables in zip(paths, tables_by_seed):
+            vec_to_lm = obj_locs[None, :, :] - path[:, None, :]
+            pos_f, vec_f, iv_f = get_anchor_input_functions(
+                space, vec_to_lm, anchor_lms, obj_locs[anchor_lms],
+                args.view_rad)
+            tables["anc_pos"] = pos_f.rows(0, n_steps)
+            tables["anc_vec"] = vec_f.rows(0, n_steps)
+            tables["anc_iv"] = iv_f.rows(0, n_steps)
         from experiments.kidnapped_robot import kernel_value
         anchor_trigger = round(kernel_value(space, args.view_rad), 3)
+        duty = [float((t["anc_iv"][:, 0] < 1e-3).mean())
+                for t in tables_by_seed]
         print(f"anchors: {anchor_lms.tolist()} "
-              f"(trigger K(vr)={anchor_trigger})", flush=True)
+              f"(trigger K(vr)={anchor_trigger}; beacon-in-view duty "
+              f"{[round(x, 3) for x in duty]})", flush=True)
 
     node_key = {}
     with Network(seed=seeds[0]) as net:
@@ -274,6 +285,13 @@ def main():
         node_key[lm_ssp] = "lm_vecssp"
         in_view = Node(TimeTable(t0w["in_view"], dt))
         node_key[in_view] = "in_view"
+        if use_anchor:
+            anc_pos = Node(TimeTable(t0w["anc_pos"], dt))
+            node_key[anc_pos] = "anc_pos"
+            anc_vec = Node(TimeTable(t0w["anc_vec"], dt))
+            node_key[anc_vec] = "anc_vec"
+            anc_iv = Node(TimeTable(t0w["anc_iv"], dt))
+            node_key[anc_iv] = "anc_iv"
 
         slam = SLAMNetwork(
             space, lm_space, args.view_rad, args.n_landmarks,
@@ -282,14 +300,18 @@ def main():
             voja_learning_rate=args.voja_lr, pes_learning_rate=args.pes_lr,
             intercept=args.intercept, vel_scaling_factor=shared_scale,
             cleanup_samples_per_dim=args.cleanup_samples, seed=seeds[0],
-            gate_mode=args.gate_mode, anchor=anchor,
+            gate_mode=args.gate_mode, anchor=use_anchor,
             gate_kwargs=({"anchor_trigger": anchor_trigger}
-                         if anchor is not None else None))
+                         if use_anchor else None))
         Connection(vel, slam.velocity_input, synapse=None)
         Connection(init, slam.pathintegrator.input, synapse=None)
         Connection(lm_id, slam.landmark_id_input, synapse=None)
         Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
         Connection(in_view, slam.no_landmark_in_view, synapse=None)
+        if use_anchor:
+            Connection(anc_pos, slam.anchor_pos_input, synapse=None)
+            Connection(anc_vec, slam.anchor_vec_ssp, synapse=None)
+            Connection(anc_iv, slam.no_anchor_in_view, synapse=None)
         slam_p = Probe(slam.pathintegrator.output, synapse=0.05)
         pi_p = None
         if not args.no_pi_control:

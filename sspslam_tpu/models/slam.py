@@ -28,6 +28,7 @@ from .binding import CircularConvolution
 from .pathintegration import PathIntegration
 
 __all__ = ["SLAMNetwork", "get_slam_input_functions",
+           "get_anchor_input_functions",
            "get_slam_input_functions2", "make_cleanup_fun"]
 
 
@@ -209,8 +210,7 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
                                  ema_tau=0.5, recovery_T=25.0,
                                  arm_at_start=False, cons_trigger=0.5,
                                  cons_ema_tau=0.25, recovery_decay=True,
-                                 anchor_ssp=None, anchor_id=None,
-                                 anchor_trigger=0.2, anchor_match=0.7):
+                                 anchor=False, anchor_trigger=0.2):
     """Self-healing correction gate (no reference counterpart).
 
     Extends the reference gate (slam.py:233-237) with an IN-MODEL
@@ -269,50 +269,47 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
     population output); outputs ``[correction(d), suppress(1)]``.
     All thresholds/rates are hoisted traced params.
 
-    **Absolute anchor (optional, ``anchor_ssp``/``anchor_id``).**  Both
+    **Absolute anchor channels (optional, ``anchor=True``).**  Both
     measured observability limits of the internal channels — the
     co-drifting map at d=393 (map and pose agree with each other but
     not the world) and the scaled 2x-view-radius kidnap (the signature
     lives in the ~1 s window the familiarity floor masks; VALIDATION
     "Part 8b") — are invisible to ANY statistic built from the model's
-    own state.  The principled fix is one landmark whose allocentric
-    position is known at build time (a surveyed beacon — the analog of
-    the reference's Loihi deployment assumption of a known start pose,
-    run_slam.py).  ``anchor_ssp``/``anchor_id`` accept one vector (d,) or
-    a surveyed SET (K, d) — at scale a set is required: with
-    single-nearest presentation each landmark feeds the gate only ~1/L of
-    the time.  With anchors the gate gains two extra d-dim inputs
-    ``[lm_id(d), vec_ssp(d)]`` (input size 6d+1) and one state element:
+    own state.  The principled fix is a set of SURVEYED landmarks whose
+    allocentric positions are known (beacons — the analog of the
+    reference's Loihi deployment assumption of a known start pose,
+    run_slam.py).  The beacon observation arrives as two extra d-dim
+    inputs plus a flag — ``anchor_pos`` (the surveyed position SSP of
+    the nearest surveyed landmark in view, a ground-truth table, NOT
+    learned state), ``anchor_vec`` (the egocentric vector SSP to it)
+    and ``anchor_no_view`` — i.e. exactly what a beacon-recognising
+    perception stack reports.  They deliberately do NOT ride the
+    model's landmark inputs: the multi-landmark adapter superimposes
+    all in-view SPs (get_slam_input_functions2), which dilutes any
+    in-gate identity match by 1/sqrt(k) and makes the bundled vec-SSP
+    useless as an absolute reference (measured: a 10-anchor in-gate
+    matcher never fired at the 3-D 100-landmark config).  Input layout
+    becomes ``[pos(d), pi(d), recall(d), err(d), anchor_pos(d),
+    anchor_vec(d), anchor_no_view(1), no_view(1)]`` (6d+2) and the
+    state gains one element:
 
-    * **absolute agreement** ``cos(pi (x) vec_ssp, phi(L0))`` whenever
-      the landmark in view IS the anchor (``cos(lm_id, anchor_id) >
-      anchor_match``) — this equals K(pose error) directly, measuring
-      the pose against the WORLD rather than against the map, so it
-      dips for co-drift and masked kidnaps alike; EMA'd
-      (``cons_ema_tau``), held across non-anchor steps, trigger below
-      ``anchor_trigger`` (derive as K(view_rad), same rationale as the
-      consistency trigger);
-    * **absolute correction**: during recovery, while the anchor is in
-      view, the correction pulls toward ``phi(x_true) = ~vec_ssp (x)
-      phi(L0)`` (unbind of two inputs that do not pass through the
-      learned map) instead of the map's position estimate — a wrong map
-      cannot poison the recovery.
+    * **absolute agreement** ``cos(pi (x) anchor_vec, anchor_pos)``
+      while a surveyed landmark is in view — equals K(pose error)
+      directly, measuring the pose against the WORLD rather than
+      against the map, so it dips for co-drift and masked kidnaps
+      alike; EMA'd (``cons_ema_tau``), held across non-anchor steps,
+      trigger below ``anchor_trigger`` (derive as K(view_rad), same
+      rationale as the consistency trigger);
+    * **absolute correction**: during recovery, while a surveyed
+      landmark is in view, the correction pulls toward ``phi(x_true) =
+      ~anchor_vec (x) anchor_pos`` (two inputs that do not pass through
+      the learned map) instead of the map's position estimate — a wrong
+      map cannot poison the recovery.
     """
     alpha = float(dt / ema_tau)
     alpha_c = float(dt / cons_ema_tau)
     R = float(recovery_T / dt)
-    has_anchor = anchor_ssp is not None
-    if has_anchor:
-        # accept one surveyed landmark (d,) or a set (K, d).  A set is the
-        # realistic deployment at scale: with single-nearest landmark
-        # presentation each landmark is in the gate's view only ~1/L of
-        # the time (measured 0-1.4% post-kidnap at the 3-D 100-landmark
-        # config), so one anchor starves the evidence EMA; surveying ~10%
-        # of landmarks restores a usable duty cycle
-        anchor_ssp = np.atleast_2d(np.asarray(anchor_ssp, np.float32))
-        anchor_id = np.atleast_2d(np.asarray(anchor_id, np.float32))
-        assert anchor_ssp.shape == anchor_id.shape and \
-            anchor_ssp.shape[1] == d, (anchor_ssp.shape, anchor_id.shape)
+    has_anchor = bool(anchor)
 
     def gate(t, x, s, consts):
         thr = consts["update_thres"]
@@ -346,21 +343,14 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         timer = jnp.maximum(s[2] - 1.0, 0.0)
         lost = ((ema < trig) | (cons_ema < cons_trig)) & conclusive
         if has_anchor:
-            lm_id = x[4 * d:5 * d]
-            vec_ssp = x[5 * d:6 * d]
-            anc_ids = consts["anchor_id"]        # (K, d)
-            anc_ssps = consts["anchor_ssp"]      # (K, d)
+            anc_pos = x[4 * d:5 * d]
+            anc_vec = x[5 * d:6 * d]
             a_trig = consts["anchor_trigger"]
-            id_cos = (anc_ids @ lm_id
-                      / (jnp.linalg.norm(anc_ids, axis=1)
-                         * jnp.linalg.norm(lm_id) + 1e-9))
-            kbest = jnp.argmax(id_cos)
-            anchor_seen = in_view & (id_cos[kbest] > anchor_match)
-            anc = anc_ssps[kbest]
-            bound = vsa.bind(pi_est, vec_ssp)
-            a_agree = (jnp.sum(bound * anc)
+            anchor_seen = jnp.abs(x[-2]) < 1e-3
+            bound = vsa.bind(pi_est, anc_vec)
+            a_agree = (jnp.sum(bound * anc_pos)
                        / (jnp.linalg.norm(bound)
-                          * jnp.linalg.norm(anc) + 1e-9))
+                          * jnp.linalg.norm(anc_pos) + 1e-9))
             a_ema = jnp.where(anchor_seen,
                               (1 - alpha_c) * s[4] + alpha_c * a_agree,
                               s[4])
@@ -378,7 +368,7 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         target = pos_est - pi_est
         if has_anchor:
             a_ema = jnp.where(trigger_now, 1.0, a_ema)
-            pose_abs = vsa.unbind(vec_ssp, anc)
+            pose_abs = vsa.unbind(anc_vec, anc_pos)
             target = jnp.where(in_rec & anchor_seen,
                                pose_abs - pi_est, target)
         corr = jnp.where(gate_ok,
@@ -407,11 +397,7 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         "cons_trigger": np.float32(cons_trigger),
     }
     if has_anchor:
-        gate.hoisted_consts.update({
-            "anchor_ssp": anchor_ssp,
-            "anchor_id": anchor_id,
-            "anchor_trigger": np.float32(anchor_trigger),
-        })
+        gate.hoisted_consts["anchor_trigger"] = np.float32(anchor_trigger)
 
     def _gate_np(t, x, s, consts):
         thr, sr = float(consts["update_thres"]), float(consts["shift_rate"])
@@ -440,24 +426,16 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
         timer = max(timer - 1.0, 0.0)
         lost = (ema < trig or cons_ema < cons_trig) and conclusive
         anchor_seen = False
-        anc = None
         a_ema = float(s[4]) if has_anchor else 1.0
         if has_anchor:
-            lm_id, vec_ssp = x[4 * d:5 * d], x[5 * d:6 * d]
-            anc_ssps = np.asarray(consts["anchor_ssp"], np.float64)
-            anc_ids = np.asarray(consts["anchor_id"], np.float64)
+            anc_pos, anc_vec = x[4 * d:5 * d], x[5 * d:6 * d]
             a_trig = float(consts["anchor_trigger"])
-            id_cos = (anc_ids @ lm_id
-                      / (np.linalg.norm(anc_ids, axis=1)
-                         * np.linalg.norm(lm_id) + 1e-9))
-            kbest = int(np.argmax(id_cos))
-            anc = anc_ssps[kbest]
-            anchor_seen = in_view and float(id_cos[kbest]) > anchor_match
+            anchor_seen = abs(float(x[-2])) < 1e-3
             if anchor_seen:
                 bound = np.fft.ifft(np.fft.fft(pi_est)
-                                    * np.fft.fft(vec_ssp)).real
-                a_agree = float(bound @ anc) / float(
-                    np.linalg.norm(bound) * np.linalg.norm(anc) + 1e-9)
+                                    * np.fft.fft(anc_vec)).real
+                a_agree = float(bound @ anc_pos) / float(
+                    np.linalg.norm(bound) * np.linalg.norm(anc_pos) + 1e-9)
                 a_ema = (1 - alpha_c) * a_ema + alpha_c * a_agree
                 lost = lost or a_ema < a_trig
         if armed > 0 and lost and timer <= 0:
@@ -471,8 +449,8 @@ def make_auto_recovery_gate_func(update_thres, shift_rate, d, dt=0.001,
             target = pos_est - pi_est
             if has_anchor and in_rec and anchor_seen:
                 pose_abs = np.fft.ifft(
-                    np.conj(np.fft.fft(x[5 * d:6 * d]))
-                    * np.fft.fft(anc)).real
+                    np.conj(np.fft.fft(anc_vec))
+                    * np.fft.fft(anc_pos)).real
                 target = pose_abs - pi_est
             out[:d] = (rsr_eff if in_rec else sr) * target
         out[d] = 10.0 if in_rec else 0.0
@@ -525,7 +503,7 @@ class SLAMNetwork(Network):
                  clean_up_method="grid", gc_n_neurons=0, encoders=None,
                  voja=True, seed=0, landmark_sps=None, intercept=None,
                  cleanup_samples_per_dim=100, gate_mode="reference",
-                 gate_kwargs=None, anchor=None, label="slam"):
+                 gate_kwargs=None, anchor=False, label="slam"):
         super().__init__(label=label, seed=seed)
 
         domain_dim = ssp_space.domain_dim
@@ -557,22 +535,20 @@ class SLAMNetwork(Network):
 
         if gate_mode == "auto_recovery":
             gk = dict(gate_kwargs or {})
-            if anchor is not None:
-                # anchor = (anchor_id_sp, anchor_pos_ssp): the SP identity
-                # of the surveyed landmark and the SSP of its KNOWN
-                # allocentric position (see the gate docstring)
-                anchor_id_sp, anchor_pos_ssp = anchor
-                gk.setdefault("anchor_id", np.asarray(anchor_id_sp,
-                                                      np.float32))
-                gk.setdefault("anchor_ssp", np.asarray(anchor_pos_ssp,
-                                                       np.float32))
+            if anchor:
+                # anchor=True adds the beacon-observation channels: the
+                # model grows anchor_pos_input / anchor_vec_ssp /
+                # no_anchor_in_view inputs for the surveyed-landmark
+                # perception stream (see the gate docstring and
+                # get_anchor_input_functions)
+                gk.setdefault("anchor", True)
             update_state_func = make_auto_recovery_gate_func(
                 update_thres, shift_rate, d, **gk)
-            gate_in = (6 * d + 1) if anchor is not None else (4 * d + 1)
+            gate_in = (6 * d + 2) if anchor else (4 * d + 1)
             gate_out = d + 1
         else:
             assert gate_mode == "reference", gate_mode
-            if anchor is not None:
+            if anchor:
                 raise ValueError(
                     "anchor= requires gate_mode='auto_recovery' (the "
                     "reference gate has no detection channels to feed)")
@@ -706,16 +682,25 @@ class SLAMNetwork(Network):
                 # docstring)
                 Connection(self.assomemory.error,
                            self.update_state[3 * d:4 * d], synapse=ev_tau)
-                if anchor is not None:
-                    # absolute-anchor channels: raw model inputs (table
-                    # driven, not learned state) — the landmark identity
-                    # lets the gate recognise the anchor, the egocentric
-                    # vector SSP gives it the map-independent absolute
-                    # agreement statistic and recovery target
-                    Connection(self.landmark_id_input,
+                if anchor:
+                    # beacon-observation channels: ground-truth tables
+                    # from the perception adapter (the surveyed position
+                    # SSP of the nearest surveyed landmark in view, the
+                    # egocentric vector SSP to it, and its in-view flag)
+                    # — deliberately NOT the model's bundled landmark
+                    # inputs, see the gate docstring
+                    self.anchor_pos_input = Node(size_in=d,
+                                                 label="anchor_pos_input")
+                    self.anchor_vec_ssp = Node(size_in=d,
+                                               label="anchor_vecssp_input")
+                    self.no_anchor_in_view = Node(
+                        size_in=1, label="anchor_in_view_input")
+                    Connection(self.anchor_pos_input,
                                self.update_state[4 * d:5 * d], synapse=None)
-                    Connection(self.landmark_vec_ssp,
+                    Connection(self.anchor_vec_ssp,
                                self.update_state[5 * d:6 * d], synapse=None)
+                    Connection(self.no_anchor_in_view,
+                               self.update_state[6 * d], synapse=None)
                 Connection(self.update_state[d],
                            self.assomemory.error.neurons,
                            transform=-2.5 * np.ones((mem_n_neurons, 1)),
@@ -874,3 +859,38 @@ def get_slam_input_functions2(ssp_space, lm_space, velocity_data,
     return (velocity_func, vel_scaling_factor, is_landmark_in_view,
             landmark_id_func, landmark_sp_func, landmark_vec_func,
             landmark_vecssp_func)
+
+
+def get_anchor_input_functions(ssp_space, vec_to_landmarks_data,
+                               anchor_lms, anchor_locs, view_rad, dt=0.001):
+    """Beacon perception stream for the anchor gate channels.
+
+    Given the surveyed landmark indices and their KNOWN allocentric
+    positions, render the three tables the gate's absolute channels
+    consume (``SLAMNetwork(anchor=True)``): per step, the nearest
+    surveyed landmark within ``view_rad`` yields its surveyed position
+    SSP (ground truth, not learned state), the egocentric vector SSP to
+    it, and an in-view flag (0 seen / 10 not).  This deliberately stays
+    OFF the model's landmark inputs: the multi-landmark adapter
+    (get_slam_input_functions2) superimposes all in-view SPs, which is
+    useless as an absolute reference — see the anchor section of the
+    make_auto_recovery_gate_func docstring.
+
+    Returns ``(anchor_pos_func, anchor_vecssp_func,
+    no_anchor_in_view_func)`` as array-backed TimeTables.
+    """
+    from ..nef.processes import TimeTable
+    anchor_lms = np.asarray(anchor_lms, int)
+    sub = vec_to_landmarks_data[:, anchor_lms, :]      # (T, K, n)
+    dists = np.linalg.norm(sub, axis=2)                # (T, K)
+    nearest = dists.argmin(axis=1)
+    rows = np.arange(len(sub))
+    seen = dists[rows, nearest] <= view_rad
+    vec_ssp_rows = np.asarray(ssp_space.encode(sub[rows, nearest]))
+    pos_rows = np.asarray(ssp_space.encode(
+        np.asarray(anchor_locs)))[nearest]             # (T, d)
+    s = seen[:, None]
+    return (TimeTable(np.where(s, pos_rows, 0.0).astype(np.float32), dt),
+            TimeTable(np.where(s, vec_ssp_rows, 0.0).astype(np.float32),
+                      dt),
+            TimeTable(np.where(seen, 0.0, 10.0).astype(np.float32), dt))

@@ -582,51 +582,56 @@ class TestAutoRecoveryGateUnit:
 
 class TestAnchorGateUnit:
     """Unit tests for the absolute-anchor extension of the auto-recovery
-    gate (models/slam.py, round 5): one landmark with a KNOWN allocentric
-    pose gives the controller a statistic measured against the WORLD
-    instead of the learned map — the remedy for both measured
-    observability limits (co-drifting map at d=393; the scaled 2x-vr
-    kidnap masked by the familiarity floor, VALIDATION 'Part 8b')."""
+    gate (models/slam.py, round 5): surveyed beacon landmarks give the
+    controller a statistic measured against the WORLD instead of the
+    learned map — the remedy for both measured observability limits
+    (co-drifting map at d=393; the scaled 2x-vr kidnap masked by the
+    familiarity floor, VALIDATION 'Part 8b').  The beacon observation
+    arrives as dedicated inputs (anchor_pos / anchor_vec /
+    anchor_no_view) rather than the model's bundled landmark inputs —
+    the multi-landmark adapter superimposes in-view SPs, which dilutes
+    any in-gate identity match (measured: a 10-anchor in-gate matcher
+    never fired at the 3-D scaled config)."""
 
     @pytest.fixture(scope="class")
     def setup(self):
         bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
         space = HexagonalSSPSpace(2, ssp_dim=25, seed=0, length_scale=0.2,
                                   domain_bounds=bounds)
-        lm = SPSpace(5, space.ssp_dim, seed=0)
         L0 = np.array([0.3, -0.2])
         from sspslam_tpu.models.slam import make_auto_recovery_gate_func
         gate = make_auto_recovery_gate_func(
             update_thres=0.2, shift_rate=0.1, d=space.ssp_dim,
-            anchor_ssp=space.encode(L0).reshape(-1),
-            anchor_id=lm.vectors[0], anchor_trigger=0.3)
-        return space, lm, L0, gate
+            anchor=True, anchor_trigger=0.3)
+        return space, L0, gate
 
-    def _inputs(self, space, lm, L0, x_true, x_pi):
+    def _inputs(self, space, L0, x_true, x_pi, anchor_seen=True):
         # co-drift stream: map, cleanup and PI all agree on x_pi (so the
-        # agreement and consistency channels read healthy), while the
-        # egocentric vector to the anchor reports the TRUE pose
+        # agreement and consistency channels read healthy) while the
+        # beacon observation reports the TRUE egocentric vector and L0's
+        # surveyed position
         d = space.ssp_dim
         pos = space.encode(x_pi).reshape(d)
-        vec = space.encode(L0 - x_true).reshape(d)
+        anc_pos = space.encode(L0).reshape(d)
+        anc_vec = space.encode(L0 - x_true).reshape(d)
         return np.concatenate(
-            [pos, pos, pos, np.zeros(d), lm.vectors[0], vec,
-             [0.0]]).astype(np.float32)
+            [pos, pos, pos, np.zeros(d), anc_pos, anc_vec,
+             [0.0 if anchor_seen else 10.0], [0.0]]).astype(np.float32)
 
     def test_anchor_fires_on_codrift_base_channels_blind(self, setup):
-        space, lm, L0, gate = setup
+        space, L0, gate = setup
         consts = dict(gate.hoisted_consts)
         npf = gate.np_function
         s = gate.state_init.copy()
         x_true = np.array([0.1, 0.1])
-        x = self._inputs(space, lm, L0, x_true, x_true)
+        x = self._inputs(space, L0, x_true, x_true)
         for _ in range(3000):
             out, s = npf(0.0, x, s, consts)
         assert s[0] == 1.0 and s[2] == 0.0, "healthy phase must arm, not fire"
-        # co-drift: everything internal says x_pi, the anchor says x_true.
+        # co-drift: everything internal says x_pi, the beacon says x_true.
         # agreement = cos(pos, pi) = 1 and cons = cos(recall, recall) = 1,
         # so ONLY the anchor channel can see this loss.
-        x = self._inputs(space, lm, L0, x_true, x_true + [0.8, 0.0])
+        x = self._inputs(space, L0, x_true, x_true + [0.8, 0.0])
         fired_at = None
         for i in range(3000):
             out, s = npf(0.0, x, s, consts)
@@ -634,28 +639,44 @@ class TestAnchorGateUnit:
                 fired_at = i
         assert fired_at is not None and fired_at < 1000, np.asarray(s)
 
+    def test_anchor_evidence_requires_beacon_in_view(self, setup):
+        space, L0, gate = setup
+        consts = dict(gate.hoisted_consts)
+        npf = gate.np_function
+        s = gate.state_init.copy()
+        x_true = np.array([0.1, 0.1])
+        x = self._inputs(space, L0, x_true, x_true)
+        for _ in range(3000):
+            out, s = npf(0.0, x, s, consts)
+        # the same co-drift with the beacon OUT of view must never fire
+        # (the held a_ema stays at its healthy level)
+        x = self._inputs(space, L0, x_true, x_true + [0.8, 0.0],
+                         anchor_seen=False)
+        for _ in range(3000):
+            out, s = npf(0.0, x, s, consts)
+        assert s[2] == 0.0, np.asarray(s)
+
     def test_anchor_recovery_pulls_toward_absolute_pose(self, setup):
         import jax.numpy as jnp
         from sspslam_tpu.ops import vsa
-        space, lm, L0, gate = setup
+        space, L0, gate = setup
         d = space.ssp_dim
         consts = dict(gate.hoisted_consts)
         npf = gate.np_function
         s = gate.state_init.copy()
         x_true = np.array([0.1, 0.1])
         x_pi = x_true + np.array([0.8, 0.0])
-        x = self._inputs(space, lm, L0, x_true, x_true)
+        x = self._inputs(space, L0, x_true, x_true)
         for _ in range(3000):
             out, s = npf(0.0, x, s, consts)
-        x = self._inputs(space, lm, L0, x_true, x_pi)
+        x = self._inputs(space, L0, x_true, x_pi)
         for _ in range(400):
             out, s = npf(0.0, x, s, consts)
         assert s[2] > 0, "must be in recovery"
         corr = out[:d]
         pose_abs = np.asarray(vsa.unbind(
             jnp.asarray(space.encode(L0 - x_true).reshape(d), jnp.float32),
-            jnp.asarray(np.asarray(consts["anchor_ssp"]).reshape(d),
-                        jnp.float32)))
+            jnp.asarray(space.encode(L0).reshape(d), jnp.float32)))
         expect = pose_abs - space.encode(x_pi).reshape(d)
         cos = corr @ expect / (np.linalg.norm(corr) * np.linalg.norm(expect))
         assert cos > 0.99, cos
@@ -667,7 +688,7 @@ class TestAnchorGateUnit:
 
     def test_anchor_np_mirror_matches_jit_path(self, setup):
         import jax.numpy as jnp
-        space, lm, L0, gate = setup
+        space, L0, gate = setup
         consts = dict(gate.hoisted_consts)
         cj = {k: jnp.asarray(v) for k, v in consts.items()}
         s_j = jnp.asarray(gate.state_init)
@@ -676,7 +697,7 @@ class TestAnchorGateUnit:
         for i in range(100):
             xt = rng.uniform(-0.5, 0.5, 2)
             xp = xt + rng.uniform(-0.6, 0.6, 2)
-            x = self._inputs(space, lm, L0, xt, xp)
+            x = self._inputs(space, L0, xt, xp, anchor_seen=(i % 3 != 0))
             out_j, s_j = gate(0.0, jnp.asarray(x), s_j, cj)
             out_n, s_n = gate.np_function(0.0, x, s_n, consts)
             np.testing.assert_allclose(np.asarray(out_j), out_n,
@@ -684,26 +705,58 @@ class TestAnchorGateUnit:
             np.testing.assert_allclose(np.asarray(s_j), s_n,
                                        rtol=1e-4, atol=5e-4)
 
+    def test_anchor_input_adapter_picks_nearest_surveyed(self, space):
+        """get_anchor_input_functions: per step the NEAREST surveyed
+        landmark within the view radius drives all three tables; steps
+        with no surveyed landmark in range read flag=10 and zero rows."""
+        from sspslam_tpu.models import get_anchor_input_functions
+        d = space.ssp_dim
+        path = np.array([[0.0, 0.0], [0.5, 0.5], [-0.6, 0.0]])
+        landmarks = np.array([[0.1, 0.0], [0.6, 0.5], [0.9, -0.9]])
+        vec_to_lm = landmarks[None, :, :] - path[:, None, :]
+        anchor_lms = np.array([0, 1])
+        pos_f, vec_f, iv_f = get_anchor_input_functions(
+            space, vec_to_lm, anchor_lms, landmarks[anchor_lms],
+            view_rad=0.3, dt=1.0)
+        pos_rows, vec_rows = pos_f.rows(0, 3), vec_f.rows(0, 3)
+        iv_rows = iv_f.rows(0, 3)
+        # step 0: landmark 0 at distance 0.1 (seen); step 1: landmark 1 at
+        # 0.1 (seen); step 2: nothing within 0.3
+        assert iv_rows[0, 0] == 0.0 and iv_rows[1, 0] == 0.0
+        assert iv_rows[2, 0] == 10.0
+        np.testing.assert_allclose(
+            pos_rows[0], space.encode(landmarks[0]).reshape(d), atol=1e-5)
+        np.testing.assert_allclose(
+            pos_rows[1], space.encode(landmarks[1]).reshape(d), atol=1e-5)
+        np.testing.assert_allclose(
+            vec_rows[1],
+            space.encode(landmarks[1] - path[1]).reshape(d), atol=1e-5)
+        assert np.all(pos_rows[2] == 0.0) and np.all(vec_rows[2] == 0.0)
+
     def test_network_builds_with_anchor(self, space):
         path, vels, vec_to_lm = make_world(T=0.3, seed=0, high=2.0)
         landmarks = vec_to_lm[0] + path[0]
         lm_space = SPSpace(3, space.ssp_dim, seed=0)
+        from sspslam_tpu.models import get_anchor_input_functions
         (velocity_func, vel_scale, in_view_f, _, lm_sp_f, _,
          lm_vecssp_f) = \
             get_slam_input_functions(space, lm_space, vels, vec_to_lm, 5.0)
-        anchor = (lm_space.vectors[0],
-                  space.encode(landmarks[0]).reshape(-1))
+        anc_pos_f, anc_vec_f, anc_iv_f = get_anchor_input_functions(
+            space, vec_to_lm, np.array([0]), landmarks[:1], 5.0)
         with Network(seed=0) as net:
             slam = SLAMNetwork(space, lm_space, 5.0, 3,
                                pi_n_neurons=80, mem_n_neurons=90,
                                circonv_n_neurons=30,
                                vel_scaling_factor=vel_scale,
                                cleanup_samples_per_dim=10, seed=0,
-                               gate_mode="auto_recovery", anchor=anchor)
+                               gate_mode="auto_recovery", anchor=True)
             for node, fn in ((slam.velocity_input, velocity_func),
                              (slam.landmark_id_input, lm_sp_f),
                              (slam.landmark_vec_ssp, lm_vecssp_f),
-                             (slam.no_landmark_in_view, in_view_f)):
+                             (slam.no_landmark_in_view, in_view_f),
+                             (slam.anchor_pos_input, anc_pos_f),
+                             (slam.anchor_vec_ssp, anc_vec_f),
+                             (slam.no_anchor_in_view, anc_iv_f)):
                 src = Node(fn)
                 Connection(src, node, synapse=None)
             out_p = Probe(slam.output, sample_every=0.01)
@@ -716,52 +769,4 @@ class TestAnchorGateUnit:
         with pytest.raises(ValueError):
             SLAMNetwork(space, lm_space, 5.0, 3, pi_n_neurons=8,
                         mem_n_neurons=9, circonv_n_neurons=3,
-                        cleanup_samples_per_dim=4, anchor=anchor)
-
-    def test_anchor_set_matches_per_step(self):
-        """With a surveyed SET (K, d) the gate must match the presented
-        landmark to ITS anchor row: a correct pose relative to the seen
-        anchor reads healthy even though the other anchor would disagree."""
-        bounds = 1.1 * np.tile(np.array([-1, 1.0]), (2, 1))
-        space = HexagonalSSPSpace(2, ssp_dim=25, seed=0, length_scale=0.2,
-                                  domain_bounds=bounds)
-        d = space.ssp_dim
-        lm = SPSpace(5, d, seed=0)
-        locs = np.array([[0.3, -0.2], [-0.4, 0.5]])
-        from sspslam_tpu.models.slam import make_auto_recovery_gate_func
-        # trigger 0.5: at d=25 the kernel's sidelobes put K(|L0-L1|) at
-        # ~0.43, so the mismatched read sits between the healthy level
-        # (>0.9) and a realistic trigger
-        gate = make_auto_recovery_gate_func(
-            update_thres=0.2, shift_rate=0.1, d=d,
-            anchor_ssp=space.encode(locs), anchor_id=lm.vectors[:2],
-            anchor_trigger=0.5)
-        consts = dict(gate.hoisted_consts)
-        npf = gate.np_function
-        x_true = np.array([0.1, 0.1])
-        pos = space.encode(x_true).reshape(d)
-
-        def x_for(which):
-            vec = space.encode(locs[which] - x_true).reshape(d)
-            return np.concatenate([pos, pos, pos, np.zeros(d),
-                                   lm.vectors[which], vec,
-                                   [0.0]]).astype(np.float32)
-
-        s = gate.state_init.copy()
-        # alternate anchors with a CORRECT pose: healthy, never fires
-        for i in range(4000):
-            out, s = npf(0.0, x_for(i % 2), s, consts)
-        assert s[0] == 1.0 and s[2] == 0.0 and s[4] > 0.8, np.asarray(s)
-        # now present anchor 1's id but anchor 0's vector (a wrong pose
-        # relative to the MATCHED anchor): must fire
-        vec0 = space.encode(locs[0] - x_true).reshape(d)
-        x_bad = np.concatenate([pos, pos, pos, np.zeros(d),
-                                lm.vectors[1], vec0,
-                                [0.0]]).astype(np.float32)
-        fired = False
-        for i in range(3000):
-            out, s = npf(0.0, x_bad, s, consts)
-            if s[2] > 0:
-                fired = True
-                break
-        assert fired, np.asarray(s)
+                        cleanup_samples_per_dim=4, anchor=True)
