@@ -326,10 +326,10 @@ def main():
 
     anchor_tables, anchor_stats = None, None
     if args.anchor:
-        if args.model == "view" or not args.in_model:
-            raise SystemExit("--anchor requires --model landmark and "
-                             "--in-model (the anchor channels live in the "
-                             "in-model auto-recovery gate)")
+        if not args.in_model:
+            raise SystemExit("--anchor requires --in-model (the anchor "
+                             "channels live in the in-model auto-recovery "
+                             "gate)")
         from sspslam_tpu.models import get_anchor_input_functions
         dists_all = np.linalg.norm(vec_to_landmarks, axis=2)
         nearest_all = dists_all.argmin(axis=1)
@@ -390,15 +390,19 @@ def main():
             vel_scaling_factor=scale, seed=args.seed,
             cleanup_samples_per_dim=args.cleanup_samples,
             gate_mode=gate_mode, gate_kwargs=gk)
+        use_anchor = (anchor_tables is not None
+                      and gate_mode == "auto_recovery")
         if args.model == "view":
             slam = SLAMViewNetwork(
                 space, lm_space, args.view_rad, args.n_landmarks,
                 args.pi_n_neurons, args.mem_n_neurons,
-                args.circonv_n_neurons, **common)
+                args.circonv_n_neurons, anchor=use_anchor, **common)
             Connection(view_node, slam.view_input, synapse=None)
+            if use_anchor:
+                Connection(anc_pos, slam.anchor_pos_input, synapse=None)
+                Connection(anc_vec, slam.anchor_vec_ssp, synapse=None)
+                Connection(anc_iv, slam.no_anchor_in_view, synapse=None)
         else:
-            use_anchor = (anchor_tables is not None
-                          and gate_mode == "auto_recovery")
             slam = SLAMNetwork(
                 space, lm_space, args.view_rad, args.n_landmarks,
                 args.pi_n_neurons, args.mem_n_neurons,

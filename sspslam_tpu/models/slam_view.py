@@ -33,7 +33,7 @@ class SLAMViewNetwork(Network):
                  voja_learning_rate=5e-4, pes_learning_rate=1e-2,
                  clean_up_method="grid", gc_n_neurons=0, encoders=None,
                  voja=True, seed=0, cleanup_samples_per_dim=100,
-                 gate_mode="reference", gate_kwargs=None,
+                 gate_mode="reference", gate_kwargs=None, anchor=False,
                  label="slamview"):
         super().__init__(label=label, seed=seed)
 
@@ -70,11 +70,28 @@ class SLAMViewNetwork(Network):
         # initial learning PES drags recall colinear to value so the
         # statistic stays ~+1, exactly as in the landmark model.
         if gate_mode == "auto_recovery":
+            gk = dict(gate_kwargs or {})
+            if anchor:
+                # Part 9 (VALIDATION): the view family's internal
+                # statistics carry no kidnap signature at all (continuous
+                # aliased view keys never mismatch sharply), so detection
+                # NEEDS the absolute beacon channels.  They transfer
+                # unchanged from SLAMNetwork because the statistic
+                # cos(pi (x) anchor_vec, anchor_pos) and the recovery
+                # target ~anchor_vec (x) anchor_pos use only the PI pose
+                # and the surveyed-beacon observation — nothing from the
+                # view memory.
+                gk.setdefault("anchor", True)
             update_state_func = make_auto_recovery_gate_func(
-                update_thres, shift_rate, d, **(gate_kwargs or {}))
-            gate_in, gate_out = 4 * d + 1, d + 1
+                update_thres, shift_rate, d, **gk)
+            gate_in = (6 * d + 2) if anchor else (4 * d + 1)
+            gate_out = d + 1
         else:
             assert gate_mode == "reference", gate_mode
+            if anchor:
+                raise ValueError(
+                    "anchor= requires gate_mode='auto_recovery' (the "
+                    "reference gate has no detection channels to feed)")
             update_state_func = make_update_state_func(update_thres,
                                                        shift_rate, d)
             gate_in, gate_out = 2 * d + 1, d
@@ -159,6 +176,21 @@ class SLAMViewNetwork(Network):
                            self.update_state[2 * d:3 * d], synapse=ev_tau)
                 Connection(self.assomemory.error,
                            self.update_state[3 * d:4 * d], synapse=ev_tau)
+                if anchor:
+                    # surveyed-beacon observation stream, identical wiring
+                    # to SLAMNetwork (see get_anchor_input_functions)
+                    self.anchor_pos_input = Node(size_in=d,
+                                                 label="anchor_pos_input")
+                    self.anchor_vec_ssp = Node(size_in=d,
+                                               label="anchor_vecssp_input")
+                    self.no_anchor_in_view = Node(
+                        size_in=1, label="anchor_in_view_input")
+                    Connection(self.anchor_pos_input,
+                               self.update_state[4 * d:5 * d], synapse=None)
+                    Connection(self.anchor_vec_ssp,
+                               self.update_state[5 * d:6 * d], synapse=None)
+                    Connection(self.no_anchor_in_view,
+                               self.update_state[6 * d], synapse=None)
                 Connection(self.update_state[d],
                            self.assomemory.error.neurons,
                            transform=-2.5 * np.ones((mem_n_neurons, 1)),

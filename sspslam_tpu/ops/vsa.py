@@ -79,8 +79,13 @@ def _rdft_mats(d: int):
     M_c = (coef[None, :] * np.cos(ang).T) / d
     M_s = -(coef[None, :] * np.sin(ang).T) / d
     f32 = np.float32
-    return (jnp.asarray(W_re, f32), jnp.asarray(W_im, f32),
-            jnp.asarray(M_c, f32), jnp.asarray(M_s, f32))
+    # ensure_compile_time_eval: the first call may happen INSIDE a jit/scan
+    # trace (e.g. the recovery gate's bind is the first d-dim DFT in the
+    # program) — without it jnp.asarray would cache trace-local constant
+    # tracers, poisoning every later trace with an UnexpectedTracerError
+    with jax.ensure_compile_time_eval():
+        return (jnp.asarray(W_re, f32), jnp.asarray(W_im, f32),
+                jnp.asarray(M_c, f32), jnp.asarray(M_s, f32))
 
 
 def rfft_pair(v: jax.Array):

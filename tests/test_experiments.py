@@ -223,6 +223,25 @@ class TestKidnappedRobotSmoke:
         assert anc["in_view_frac_pre"] > 0
         assert np.isfinite(line["adaptive"]["pre_err"])
 
+    def test_in_model_anchor_view_cpu(self):
+        """--model view --anchor: the beacon channels are the view
+        family's only detection path (VALIDATION part 9 — its internal
+        statistics carry no kidnap signature); the wiring must compile
+        and report the same anchor JSON."""
+        import json
+        out = run_script("kidnapped_robot.py", [
+            "--cpu", "--in-model", "--anchor", "--model", "view", "--T",
+            "12", "--limit", "0.5", "--ssp-dim", "31", "--n-landmarks",
+            "8", "--pi-n-neurons", "80", "--mem-n-neurons", "120",
+            "--circonv-n-neurons", "30", "--view-rad", "0.4",
+            "--min-jump", "0.4"], timeout=900)
+        line = json.loads(out.strip().splitlines()[-1])
+        assert line["model"] == "view"
+        assert line["auto"]["mode"] == "in_model"
+        anc = line["anchor"]
+        assert anc["landmarks"] and all(0 <= i < 8 for i in anc["landmarks"])
+        assert np.isfinite(line["adaptive"]["pre_err"])
+
     def test_auto_monitor_cpu(self):
         """--auto mode: the tick monitor runs (at toy scale tracking never
         establishes, so the correct behavior is an armed=False monitor

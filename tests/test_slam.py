@@ -770,3 +770,43 @@ class TestAnchorGateUnit:
             SLAMNetwork(space, lm_space, 5.0, 3, pi_n_neurons=8,
                         mem_n_neurons=9, circonv_n_neurons=3,
                         cleanup_samples_per_dim=4, anchor=True)
+
+    def test_view_network_builds_with_anchor(self, space):
+        # part 9 (VALIDATION): the view family's internal statistics carry
+        # no kidnap signature, so the beacon channels are its ONLY
+        # detection path — same wiring as SLAMNetwork, nothing from the
+        # view memory feeds the anchor statistic
+        path, vels, vec_to_lm = make_world(T=0.3, seed=0, high=2.0)
+        landmarks = vec_to_lm[0] + path[0]
+        lm_space = SPSpace(3, space.ssp_dim, seed=0)
+        from sspslam_tpu.models import get_anchor_input_functions
+        velocity_func, vel_scale, in_view_f, view_f = \
+            get_slamview_input_functions(space, lm_space, vels, vec_to_lm,
+                                         5.0)
+        anc_pos_f, anc_vec_f, anc_iv_f = get_anchor_input_functions(
+            space, vec_to_lm, np.array([0]), landmarks[:1], 5.0)
+        with Network(seed=0) as net:
+            slam = SLAMViewNetwork(space, lm_space, 5.0, 3,
+                                   pi_n_neurons=80, mem_n_neurons=90,
+                                   circonv_n_neurons=30,
+                                   vel_scaling_factor=vel_scale,
+                                   cleanup_samples_per_dim=10, seed=0,
+                                   gate_mode="auto_recovery", anchor=True)
+            for node, fn in ((slam.velocity_input, velocity_func),
+                             (slam.view_input, view_f),
+                             (slam.no_landmark_in_view, in_view_f),
+                             (slam.anchor_pos_input, anc_pos_f),
+                             (slam.anchor_vec_ssp, anc_vec_f),
+                             (slam.no_anchor_in_view, anc_iv_f)):
+                src = Node(fn)
+                Connection(src, node, synapse=None)
+            out_p = Probe(slam.output, sample_every=0.01)
+            gate_p = Probe(slam.update_state, sample_every=0.01)
+        sim = Simulator(net, seed=0, default_neuron_type=LIFRate())
+        sim.run(0.3)
+        assert np.all(np.isfinite(np.asarray(sim.data[out_p])))
+        assert np.all(np.isfinite(np.asarray(sim.data[gate_p])))
+        with pytest.raises(ValueError):
+            SLAMViewNetwork(space, lm_space, 5.0, 3, pi_n_neurons=8,
+                            mem_n_neurons=9, circonv_n_neurons=3,
+                            cleanup_samples_per_dim=4, anchor=True)
