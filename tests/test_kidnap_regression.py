@@ -59,3 +59,50 @@ def test_in_model_detection_and_recovery_direction():
     # the kidnap (measured 0.66 vs 1.03; strict stays lost)
     assert r["adaptive"]["post_err"] < r["strict"]["post_err"], r
     assert r["strict"]["post_err"] > 0.5, r
+
+
+@pytest.mark.slow
+def test_anchor_channel_detection_and_recovery():
+    """Regression net for the absolute-anchor science (VALIDATION.md
+    "Absolute anchor" / parts 8b-9b): surveyed beacons give the in-model
+    controller a WORLD-referenced agreement statistic and a
+    map-independent recovery target.
+
+    Same reduced protocol as the base test above, plus ``--anchor
+    --anchor-k 6 --auto-derive``.  At this scale the internal channels
+    alone detect at +18.3 s (the test above); with beacons the absolute
+    channel fires at +1.1 s and recovery lands at 0.024 — phase-A
+    quality — because the recovery target never touches the (kidnap-
+    poisoned) learned map.  Pins the anchor contract: zero false
+    triggers during phase A at ~61% beacon duty, detection fast enough
+    that only the anchor channel can explain it, recovery below the
+    view radius, strict gate still lost."""
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(ROOT, "experiments", "kidnapped_robot.py"),
+         "--cpu", "--in-model", "--anchor", "--anchor-k", "6",
+         "--auto-derive", "--T", "60", "--ssp-dim", "55",
+         "--pi-n-neurons", "250", "--mem-n-neurons", "500",
+         "--circonv-n-neurons", "50", "--n-landmarks", "30",
+         "--view-rad", "0.3", "--seed", "0"],
+        capture_output=True, text=True, timeout=3000, cwd=ROOT)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    r = json.loads([l for l in proc.stdout.splitlines()
+                    if l.startswith("{")][-1])
+    assert r["jump"] > 0.5, r
+    # the survey found usable beacons (measured 61% phase-A duty)
+    assert r["anchor"]["in_view_frac_pre"] > 0.3, r
+    auto = r["auto"]
+    # zero false triggers with the absolute channel armed all of phase A
+    assert auto["false_triggers"] == 0, auto
+    # anchor-speed detection: the internal channels need +18.3 s at this
+    # scale, so a detection inside 5 s can only be the absolute channel
+    # (measured +1.1 s)
+    assert auto["detect_s"] is not None, auto
+    assert auto["detect_s"] <= 5.0, auto
+    # recovery to phase-A quality, below the view radius (measured 0.024
+    # vs the base controller's 0.66 — the absolute target bypasses the
+    # poisoned map)
+    assert r["adaptive"]["post_err"] <= 0.3, r
+    assert r["adaptive"]["post_err"] < r["strict"]["post_err"], r
+    assert r["strict"]["post_err"] > 0.5, r
