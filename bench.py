@@ -41,6 +41,24 @@ PEAK_F32_FLOPS = 99e12
 ACCURACY_GATE = 0.93
 
 
+def accelerator_available(timeout_s=180):
+    """Probe whether the configured accelerator backend actually comes up.
+
+    The axon TPU tunnel, when down, HANGS ``jax.devices()`` indefinitely
+    instead of raising — so the probe runs in a subprocess with a hard
+    timeout.  A dead tunnel then degrades the benchmark to the CPU
+    backend (flagged in the JSON) instead of hanging the driver."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def model_flops_per_step(model) -> float:
     from sspslam_tpu.utils.profiling import model_utilization_summary
     return float(sum(r["flops_per_step"]
@@ -380,6 +398,14 @@ def main():
     ap.add_argument("--scaled-spot-T", type=float, default=40.0)
     args = ap.parse_args()
 
+    tunnel_fallback = False
+    if not args.cpu and not accelerator_available():
+        log("accelerator backend failed to initialize within the probe "
+            "timeout (tunnel down?) — falling back to the CPU backend")
+        tunnel_fallback = True
+        args.cpu = True
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     if args.scaled:
         import subprocess
         cmd = [sys.executable,
@@ -595,6 +621,10 @@ def main():
                   "BASELINE.md)",
         "value": round(steps_per_s, 1),
         "unit": "steps/s",
+        # which backend actually ran (cpu here means either --cpu or the
+        # tunnel-down fallback; the flag distinguishes them)
+        "platform": jax.devices()[0].platform,
+        "tunnel_fallback": tunnel_fallback,
         "vs_baseline": (round(vs_baseline, 1)
                         if np.isfinite(vs_baseline) else None),
         # provenance for the host-dependent ratio: its measured denominator
