@@ -351,3 +351,71 @@ class TestParamsShardings:
                          matmul_dtype="int8")
         sim2.run(0.1)
         assert np.allclose(ref, sim2.data[p2], atol=5e-4)
+
+
+class TestAnchoredGateUnderMesh:
+    """The stateful auto-recovery gate node — including the round-5
+    absolute-anchor beacon channels — must ride the mesh-sharded step:
+    the gate's scalar state vector and the three beacon input nodes are
+    the one part of the scaled/kidnap configuration nothing else
+    exercises multi-device.  Pins mesh-vs-single-device probe parity for
+    SLAMNetwork(gate_mode='auto_recovery', anchor=True)."""
+
+    def _build(self, space, mesh=None):
+        from sspslam_tpu import SPSpace
+        from sspslam_tpu.models import (SLAMNetwork,
+                                        get_anchor_input_functions,
+                                        get_slam_input_functions)
+        d = space.ssp_dim
+        T, dt = 0.2, 0.001
+        n_steps = int(T / dt)
+        ts = dt * np.arange(n_steps)
+        path = 0.4 * np.stack([np.sin(2 * np.pi * ts / T),
+                               np.cos(2 * np.pi * ts / T)], axis=1)
+        vels = (1 / dt) * np.diff(path, axis=0, prepend=path[:1])
+        landmarks = np.array([[0.2, 0.1], [-0.3, 0.3], [0.1, -0.4]])
+        vec_to_lm = landmarks[None, :, :] - path[:, None, :]
+        lm_space = SPSpace(3, d, seed=0)
+        (vel_f, scale, in_view_f, _, sp_f, _, vecssp_f) = \
+            get_slam_input_functions(space, lm_space, vels, vec_to_lm, 0.8)
+        pos_f, vec_f, iv_f = get_anchor_input_functions(
+            space, vec_to_lm, np.array([0, 1]), landmarks[:2], 0.8, dt=dt)
+        ssp0 = space.encode(path[:1]).flatten()
+        with Network(seed=0) as net:
+            vel = Node(vel_f)
+            init = Node(lambda t: ssp0 if t < 0.05 else np.zeros(d))
+            lm_id = Node(sp_f)
+            lm_ssp = Node(vecssp_f)
+            in_view = Node(in_view_f)
+            anc_pos, anc_vec, anc_iv = Node(pos_f), Node(vec_f), Node(iv_f)
+            slam = SLAMNetwork(space, lm_space, 0.8, 3,
+                               pi_n_neurons=64, mem_n_neurons=80,
+                               circonv_n_neurons=24,
+                               vel_scaling_factor=scale,
+                               cleanup_samples_per_dim=10, seed=0,
+                               gate_mode="auto_recovery", anchor=True,
+                               gate_kwargs={"anchor_trigger": 0.3})
+            Connection(vel, slam.velocity_input, synapse=None)
+            Connection(init, slam.pathintegrator.input, synapse=None)
+            Connection(lm_id, slam.landmark_id_input, synapse=None)
+            Connection(lm_ssp, slam.landmark_vec_ssp, synapse=None)
+            Connection(in_view, slam.no_landmark_in_view, synapse=None)
+            Connection(anc_pos, slam.anchor_pos_input, synapse=None)
+            Connection(anc_vec, slam.anchor_vec_ssp, synapse=None)
+            Connection(anc_iv, slam.no_anchor_in_view, synapse=None)
+            p = Probe(slam.pathintegrator.output, synapse=0.05)
+        from sspslam_tpu.nef import LIFRate
+        sim = Simulator(net, seed=0, mesh=mesh,
+                        default_neuron_type=LIFRate())
+        return sim, p, T
+
+    def test_mesh_matches_single_device(self, space):
+        sim1, p1, T = self._build(space)
+        sim1.run(T)
+        ref = sim1.data[p1]
+        sim2, p2, _ = self._build(space, mesh=make_mesh(8))
+        sim2.run(T)
+        got = sim2.data[p2]
+        assert ref.shape == got.shape
+        assert np.all(np.isfinite(got))
+        assert np.allclose(ref, got, atol=5e-4)
