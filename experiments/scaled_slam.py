@@ -493,8 +493,12 @@ def main():
             "n_landmarks": args.n_landmarks, "view_rad": args.view_rad,
             "update_thres": args.update_thres,
             "shift_rate": args.shift_rate, "pes_lr": args.pes_lr,
-            "voja_lr": args.voja_lr, "intercept": args.intercept},
+            "voja_lr": args.voja_lr, "intercept": args.intercept,
+            "gate_mode": args.gate_mode, "anchor_k": args.anchor_k},
     }
+    if use_anchor:
+        out["anchors"] = {"landmarks": anchor_lms.tolist(),
+                          "trigger": anchor_trigger}
     print(json.dumps(out))
     if args.save:
         os.makedirs(args.save_dir, exist_ok=True)

@@ -426,6 +426,28 @@ class TestScaledSlamSmoke:
             assert np.isfinite(entry["slam"]["median_err"])
             assert np.isfinite(entry["pi_only"]["median_err"])
 
+    def test_anchor_gate_cpu(self):
+        """--gate-mode auto_recovery --anchor-k: the scaled campaign's
+        anchored configuration (in-model controller + surveyed-beacon
+        channels) builds, runs vmapped, and records anchor provenance in
+        the JSON."""
+        import json
+        out = run_script("scaled_slam.py", [
+            "--cpu", "--T", "1.2", "--domain-dim", "2", "--ssp-dim", "31",
+            "--pi-n-neurons", "80", "--mem-n-neurons", "120",
+            "--circonv-n-neurons", "30", "--n-landmarks", "6",
+            "--view-rad", "0.6", "--limit", "2.0", "--seeds", "0,1",
+            "--segment-steps", "300", "--cleanup-samples", "6",
+            "--decode-grid", "8", "--gate-mode", "auto_recovery",
+            "--anchor-k", "2"], timeout=900)
+        line = json.loads(out.strip().splitlines()[-1])
+        assert line["config"]["gate_mode"] == "auto_recovery"
+        assert line["config"]["anchor_k"] == 2
+        assert len(line["anchors"]["landmarks"]) == 2
+        assert np.isfinite(line["anchors"]["trigger"])
+        for entry in line["per_seed"]:
+            assert np.isfinite(entry["slam"]["median_err"])
+
     def test_dp_sweep_cpu(self):
         """--dp-sweep: throughput-only mode (probe emits dropped at trace
         level) reports one row per B."""
