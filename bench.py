@@ -440,10 +440,13 @@ def main():
                "--T", str(args.scaled_spot_T), "--seeds", "0,1",
                "--param-dtype", "int8", "--no-pi-control"]
         log("scaled int8 spot run (subprocess)...")
-        out = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=1800)
-        lines = [l for l in out.stdout.splitlines() if l.startswith('{"')]
+        # soft-fail THROUGHOUT (including the timeout): the flagship row
+        # must still print whatever happens to the spot run
         try:
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=1800)
+            lines = [l for l in out.stdout.splitlines()
+                     if l.startswith('{"')]
             r = json.loads(lines[-1])
             gate = 0.4   # the view radius: tracking must stay inside it
             scaled_spot = {
@@ -458,9 +461,11 @@ def main():
             }
             log(f"scaled spot: {r['agg_steps_per_s']:.0f} agg steps/s, "
                 f"median err {r['median_err_slam']:.3f} (gate {gate})")
-        except Exception as e:   # soft-fail: the flagship row still prints
-            scaled_spot = {"error": f"{type(e).__name__}: {e}",
-                           "stderr_tail": out.stderr[-500:]}
+        except Exception as e:
+            scaled_spot = {"error": f"{type(e).__name__}: {e}"}
+            stderr_tail = getattr(locals().get("out"), "stderr", None)
+            if stderr_tail:
+                scaled_spot["stderr_tail"] = stderr_tail[-500:]
             log(f"scaled spot failed: {scaled_spot['error']}")
 
     import jax

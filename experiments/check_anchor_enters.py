@@ -13,11 +13,15 @@ Usage: python experiments/check_anchor_enters.py data/dump.npz \
            --seed 0 --length-scale 0.2 --enters 92.0 [...]
 """
 import argparse
+import os
+import sys
 
 import numpy as np
 
-from experiments.common import decode_output
-from sspslam_tpu import HexagonalSSPSpace
+sys.path.insert(1, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from experiments.common import decode_output  # noqa: E402
+from sspslam_tpu import HexagonalSSPSpace  # noqa: E402
 
 
 def main():

@@ -146,6 +146,24 @@ def decode_output(ssp_space, data, domain_dim, grid=None,
     return ssp_space.decode(data, method, "grid", grid)
 
 
+def kernel_value(space, r, M=200, seed=0):
+    """Mean SSP similarity K(r) = cos(phi(x), phi(x + r u)) over random
+    points and directions — the space's own distance->similarity map.
+    Used to DERIVE gate thresholds from the space instead of hand
+    constants (trigger=K(view_rad), exit=0.8 K(vr/2), cons mid-band —
+    VALIDATION.md 'Derived thresholds')."""
+    rng = np.random.default_rng(seed)
+    dim = space.domain_dim
+    u = rng.standard_normal((M, dim))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    x = rng.uniform(-0.5, 0.5, (M, dim))
+    a = np.asarray(space.encode(x))
+    b = np.asarray(space.encode(x + r * u))
+    cs = np.sum(a * b, axis=1) / (np.linalg.norm(a, axis=1)
+                                  * np.linalg.norm(b, axis=1))
+    return float(np.mean(cs))
+
+
 def run_with_backend(sim_or_net, backend, T, **sim_kwargs):
     """Run either the jit Simulator or the NumPy interpreter; returns
     (probe_getter, elapsed_time, elapsed_thread_time)."""

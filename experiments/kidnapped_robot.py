@@ -54,7 +54,7 @@ from sspslam_tpu.nef import (Connection, Network, Node, Probe, Simulator,
                              WhiteSignal)
 from sspslam_tpu.utils.sampling import Rd_sampling
 
-from experiments.common import decode_output
+from experiments.common import decode_output, kernel_value
 
 
 def make_phase(T, dt, limit, seed, radius, dim=2):
@@ -67,21 +67,6 @@ def make_phase(T, dt, limit, seed, radius, dim=2):
         path[:, i] = ((path[:, i] - lo) / max(hi - lo, 1e-12)
                       * 1.8 * radius - 0.9 * radius)
     return path
-
-
-def kernel_value(space, r, M=200, seed=0):
-    """Mean SSP similarity K(r) = cos(phi(x), phi(x + r u)) over random
-    points and directions — the space's own distance->similarity map."""
-    rng = np.random.default_rng(seed)
-    dim = space.domain_dim
-    u = rng.standard_normal((M, dim))
-    u /= np.linalg.norm(u, axis=1, keepdims=True)
-    x = rng.uniform(-0.5, 0.5, (M, dim))
-    a = np.asarray(space.encode(x))
-    b = np.asarray(space.encode(x + r * u))
-    cs = np.sum(a * b, axis=1) / (np.linalg.norm(a, axis=1)
-                                  * np.linalg.norm(b, axis=1))
-    return float(np.mean(cs))
 
 
 def main():

@@ -47,7 +47,7 @@ from experiments.common import DT, decode_output
 PEAK_F32_FLOPS = 99e12  # v5e f32 MXU peak (bench.py)
 
 
-def make_world(args, space, lm_space, seed, shared_scale):
+def make_world(args, space, lm_space, seed, shared_scale, space_seed=0):
     """One seed's world: 3-D band-limited path + Rd landmarks, rendered to
     the five input tables (vel, init-clamp, lm-sp, lm-vecssp, in-view).
 
@@ -63,11 +63,16 @@ def make_world(args, space, lm_space, seed, shared_scale):
     cache = None
     if args.table_cache:
         os.makedirs(args.table_cache, exist_ok=True)
+        # the encoded tables depend on the SSP/SP space (seeded from the
+        # seed SET's first element), not just this world — a key without
+        # it would silently serve tables from a different space when the
+        # seed list changes (e.g. --seeds 0,1 then --seeds 1,2)
         cache = os.path.join(
             args.table_cache,
             f"w{seed}_T{args.T:g}_dim{dim}_d{space.ssp_dim}"
             f"_ls{args.length_scale:g}_lim{args.limit:g}"
-            f"_L{args.n_landmarks}_vr{args.view_rad:g}.npz")
+            f"_L{args.n_landmarks}_vr{args.view_rad:g}"
+            f"_sp{space_seed}.npz")
     if cache and os.path.exists(cache):
         with np.load(cache) as f:
             path, vels = f["path"], f["vels"]
@@ -229,7 +234,7 @@ def main():
     paths, tables_by_seed = [], []
     for s in seeds:
         path, vels, tables = make_world(args, space, lm_space, s,
-                                        shared_scale)
+                                        shared_scale, space_seed=seeds[0])
         paths.append(path)
         tables_by_seed.append(tables)
     print(f"worlds: {B} built in {time.time() - t0:.1f}s", flush=True)
@@ -258,7 +263,24 @@ def main():
             counts += np.bincount(nearest[iv],
                                   minlength=args.n_landmarks)
         anchor_lms = np.sort(np.argsort(counts)[::-1][:args.anchor_k])
-        for path, tables in zip(paths, tables_by_seed):
+        for s, path, tables in zip(seeds, paths, tables_by_seed):
+            # beacon tables are encode-heavy like the world tables and
+            # identical across the dtype x B sweeps of one config — cache
+            # them keyed by world + space seed + the surveyed set
+            acache = None
+            if args.table_cache:
+                aid = "-".join(str(i) for i in anchor_lms.tolist())
+                acache = os.path.join(
+                    args.table_cache,
+                    f"anc{s}_T{args.T:g}_dim{dim}_d{space.ssp_dim}"
+                    f"_ls{args.length_scale:g}_lim{args.limit:g}"
+                    f"_L{args.n_landmarks}_vr{args.view_rad:g}"
+                    f"_sp{seeds[0]}_k{aid}.npz")
+            if acache and os.path.exists(acache):
+                with np.load(acache) as f:
+                    for k in ("anc_pos", "anc_vec", "anc_iv"):
+                        tables[k] = f[k]
+                continue
             vec_to_lm = obj_locs[None, :, :] - path[:, None, :]
             pos_f, vec_f, iv_f = get_anchor_input_functions(
                 space, vec_to_lm, anchor_lms, obj_locs[anchor_lms],
@@ -266,7 +288,10 @@ def main():
             tables["anc_pos"] = pos_f.rows(0, n_steps)
             tables["anc_vec"] = vec_f.rows(0, n_steps)
             tables["anc_iv"] = iv_f.rows(0, n_steps)
-        from experiments.kidnapped_robot import kernel_value
+            if acache:
+                np.savez(acache, **{k: tables[k] for k in
+                                    ("anc_pos", "anc_vec", "anc_iv")})
+        from experiments.common import kernel_value
         anchor_trigger = round(kernel_value(space, args.view_rad), 3)
         duty = [float((t["anc_iv"][:, 0] < 1e-3).mean())
                 for t in tables_by_seed]

@@ -137,10 +137,21 @@ def main():
         # accelerator first (default backend -> the solver runs there),
         # CPU second (the virtual mesh lives there)
         plat = os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "tpu"
+        # probe in a SUBPROCESS with a hard timeout: a dead axon tunnel
+        # HANGS jax.devices() instead of raising (same failure mode
+        # bench.py guards against), so an in-process try/except never
+        # reaches its fallback
+        import subprocess
         try:
+            ok = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                capture_output=True, timeout=180).returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if ok:
             jax.config.update("jax_platforms", f"{plat},cpu")
-            jax.devices()   # force backend init; throws if absent
-        except Exception:
+        else:
             log(f"accelerator platform {plat!r} unavailable; "
                 "falling back to cpu-only")
             jax.config.update("jax_platforms", "cpu")
@@ -170,6 +181,7 @@ def main():
 
     rows = []
     ideal_flops = None
+    ideal_bytes = None
     for n_dev in mesh_sizes:
         mesh = cpu_mesh(n_dev)
         if shared_sim is not None:

@@ -881,6 +881,12 @@ def get_anchor_input_functions(ssp_space, vec_to_landmarks_data,
     """
     from ..nef.processes import TimeTable
     anchor_lms = np.asarray(anchor_lms, int)
+    if anchor_lms.size == 0:
+        raise ValueError(
+            "no surveyed landmarks: the anchor survey came up empty "
+            "(no landmark was ever nearest-in-view during the survey "
+            "phase) — widen view_rad, lengthen the survey window, or "
+            "pass explicit anchor indices")
     sub = vec_to_landmarks_data[:, anchor_lms, :]      # (T, K, n)
     dists = np.linalg.norm(sub, axis=2)                # (T, K)
     nearest = dists.argmin(axis=1)
