@@ -181,6 +181,20 @@ def main():
     ap.add_argument("--dp-sweep", default=None,
                     help="comma list of B: throughput-only episode-batch "
                          "sweep at this scale (world 0 replicated)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="no simulation: lower ONE fully-unrolled segment "
+                         "(seg=unroll=4) of the B-episode step, read XLA's "
+                         "cost analysis (FLOPs, HBM bytes accessed per "
+                         "step), print the v5e roofline bounds and exit — "
+                         "the scaled counterpart of step_roofline.py "
+                         "(which is pinned to the flagship bench config)")
+    ap.add_argument("--peak-flops", type=float, default=PEAK_F32_FLOPS)
+    ap.add_argument("--peak-bw", type=float, default=819e9,
+                    help="HBM bandwidth B/s (TPU v5e)")
+    ap.add_argument("--measured-us", type=float, default=None,
+                    help="with --roofline: measured us per EPISODE-step "
+                         "at this config/B (from a prior run or --dp-sweep "
+                         "row) to print the fraction-of-roofline")
     ap.add_argument("--save", action="store_true")
     ap.add_argument("--save-dir", default="data")
     ap.add_argument("--table-cache", default="data/table_cache",
@@ -453,6 +467,55 @@ def main():
         if probe is None:
             return None
         return next(bp.index for bp in sim.model.probes if bp.obj is probe)
+
+    if args.roofline:
+        # XLA's cost analysis counts a `while` body ONCE regardless of trip
+        # count, so lower a short FULLY-unrolled segment (no while loop)
+        # and divide by its length.  Lowered from ShapeDtypeStructs with
+        # the inputs pre-sliced to (seg, B, size): nothing is uploaded and
+        # no step executes, so this is safe alongside other device work.
+        seg_r = 4
+
+        def roof_fn(state, xs, params):
+            def body(c, x):
+                c2, _emits = vstep(c, x, params)
+                return c2, None
+            s2, _ = jax.lax.scan(body, state, xs, unroll=seg_r)
+            return s2
+
+        state_sds = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(
+                (B,) + tuple(np.shape(x)), np.asarray(x).dtype), sim.state)
+        xs_sds = [jax.ShapeDtypeStruct(
+            (seg_r, B, tables_by_seed[0][k].shape[1]), np.float32)
+            for k in input_keys]
+        params_sds = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jnp.shape(x), x.dtype),
+            sim.params)
+        cost = jax.jit(roof_fn).lower(
+            state_sds, xs_sds, params_sds).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        fl = float(cost.get("flops", float("nan"))) / seg_r
+        by = float(cost.get("bytes accessed", float("nan"))) / seg_r
+        t_c = fl / args.peak_flops
+        t_b = by / args.peak_bw
+        out = {
+            "metric": f"scaled roofline (ssp_dim={d}, B={B}, dtype={pd})",
+            "flops_per_step": fl,
+            "hbm_bytes_per_step": by,
+            "bytes_per_episode_step": round(by / B, 1),
+            "compute_bound_us_per_episode_step": round(t_c * 1e6 / B, 3),
+            "bandwidth_bound_us_per_episode_step": round(t_b * 1e6 / B, 3),
+            "roofline_us_per_episode_step": round(
+                max(t_c, t_b) * 1e6 / B, 3),
+        }
+        if args.measured_us:
+            out["measured_us_per_episode_step"] = args.measured_us
+            out["fraction_of_roofline"] = round(
+                max(t_c, t_b) * 1e6 / B / args.measured_us, 3)
+        print(json.dumps(out))
+        return
 
     if args.dp_sweep:
         rows = []
