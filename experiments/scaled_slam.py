@@ -243,6 +243,12 @@ def main():
         max_freq = max(max_freq, float(np.max(
             np.abs(space.phase_matrix @ vels.T))))
         worlds_raw.append(path)
+    if max_freq == 0.0:
+        raise SystemExit(
+            f"degenerate trajectories: WhiteSignal(T={args.T}, "
+            f"high={args.limit}) has no spectral content below its "
+            f"frequency resolution 1/T={1 / args.T:.3g} Hz — raise --T "
+            f"or --limit so that T*limit >= 1")
     shared_scale = 1.0 / max_freq
 
     paths, tables_by_seed = [], []

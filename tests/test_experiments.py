@@ -448,6 +448,26 @@ class TestScaledSlamSmoke:
         for entry in line["per_seed"]:
             assert np.isfinite(entry["slam"]["median_err"])
 
+    def test_roofline_cpu(self):
+        """--roofline: lowers one unrolled segment, reads XLA cost
+        analysis, prints bounds without simulating (the TPU-scale result
+        is in VALIDATION.md 'Scaled roofline')."""
+        import json
+        out = run_script("scaled_slam.py", [
+            "--cpu", "--T", "1.2", "--domain-dim", "2", "--ssp-dim", "31",
+            "--pi-n-neurons", "80", "--mem-n-neurons", "120",
+            "--circonv-n-neurons", "30", "--n-landmarks", "6",
+            "--view-rad", "0.6", "--limit", "2.0", "--seeds", "0,1",
+            "--cleanup-samples", "6", "--roofline",
+            "--measured-us", "50"], timeout=900)
+        line = json.loads(out.strip().splitlines()[-1])
+        assert line["flops_per_step"] > 0
+        assert line["hbm_bytes_per_step"] > 0
+        assert (line["roofline_us_per_episode_step"] ==
+                max(line["compute_bound_us_per_episode_step"],
+                    line["bandwidth_bound_us_per_episode_step"]))
+        assert 0 < line["fraction_of_roofline"] <= 1.0
+
     def test_dp_sweep_cpu(self):
         """--dp-sweep: throughput-only mode (probe emits dropped at trace
         level) reports one row per B."""
