@@ -195,6 +195,12 @@ def main():
                     help="with --roofline: measured us per EPISODE-step "
                          "at this config/B (from a prior run or --dp-sweep "
                          "row) to print the fraction-of-roofline")
+    ap.add_argument("--probe-gate", action="store_true",
+                    help="with --gate-mode auto_recovery: probe the "
+                         "in-model controller's output (correction + "
+                         "suppress channel) and report per-seed recovery "
+                         "enters/duty in the JSON (saved as gate_out "
+                         "with --save)")
     ap.add_argument("--save", action="store_true")
     ap.add_argument("--save-dir", default="data")
     ap.add_argument("--table-cache", default="data/table_cache",
@@ -358,6 +364,14 @@ def main():
             Connection(anc_vec, slam.anchor_vec_ssp, synapse=None)
             Connection(anc_iv, slam.no_anchor_in_view, synapse=None)
         slam_p = Probe(slam.pathintegrator.output, synapse=0.05)
+        gate_p = None
+        if args.probe_gate:
+            if args.gate_mode != "auto_recovery":
+                raise SystemExit("--probe-gate requires --gate-mode "
+                                 "auto_recovery")
+            # output layout [correction(d), suppress(1)]; suppress > 5
+            # marks the controller's recovery window
+            gate_p = Probe(slam.update_state, synapse=None)
         pi_p = None
         if not args.no_pi_control:
             pi_only = PathIntegration(space, args.pi_n_neurons, 0.05,
@@ -430,7 +444,13 @@ def main():
             for k in input_keys]
         jax.block_until_ready(tables_dev)
         upload_s = time.time() - t0
-        kept = {slam_p: [], pi_p: []} if collect else None
+        kept = ({p: [] for p in (slam_p, pi_p, gate_p) if p is not None}
+                if collect else None)
+        # --probe-gate also snapshots the controller's INTERNAL state
+        # ([armed, agree_ema, timer, cons_ema(, anchor_ema)]) at each
+        # segment boundary — the stateful node's carry slot — giving a
+        # seg-resolution trace of the arming latch and the evidence EMAs
+        gate_states = [] if (collect and gate_p is not None) else None
         # compile/warm on the first segment, then time the rest
         t_compile = t_run = 0.0
         done = 0
@@ -450,13 +470,14 @@ def main():
             else:
                 t_run += el
             if collect:
-                for p, idx in ((slam_p, _bp_index(sim, slam_p)),
-                               (pi_p, _bp_index(sim, pi_p))):
-                    if p is None:
-                        continue
+                for p in kept:
+                    idx = _bp_index(sim, p)
                     e = np.asarray(emits[idx])      # (seg, B, d)
                     phase = (per - 1 - done % per) % per
                     kept[p].append(e[phase::per])
+                if gate_states is not None:
+                    gate_states.append({k: np.asarray(v) for k, v
+                                        in state["nodes"].items()})
             done = hi
         steps_timed = done - seg
         if t_run > 0:
@@ -467,6 +488,11 @@ def main():
         if collect:
             probes = {p: np.swapaxes(np.concatenate(v), 0, 1)
                       for p, v in kept.items() if p is not None}
+            if gate_states is not None:
+                # (n_segments, B, state_dim) per stateful-node slot
+                probes["gate_states"] = {
+                    k: np.stack([gs[k] for gs in gate_states])
+                    for k in gate_states[0]} if gate_states else {}
         return probes, agg, t_compile, done
 
     def _bp_index(sim, probe):
@@ -562,6 +588,21 @@ def main():
             half = err[len(err) // 2:]
             entry[name] = {"median_err": round(float(np.median(half)), 4),
                            "final_err": round(float(err[-1]), 4)}
+        if gate_p is not None:
+            sup = probes[gate_p][b][:, -1] > 5.0
+            rises = int(np.sum(sup[1:] & ~sup[:-1])) + int(sup[0])
+            entry["gate"] = {
+                "enters": rises,
+                "recovery_frac": round(float(sup.mean()), 4),
+                "first_enter_s": (round(float(
+                    np.argmax(sup) * args.probe_every), 2)
+                    if sup.any() else None)}
+            # controller-internal state at the LAST segment boundary:
+            # [armed, agree_ema, timer, cons_ema(, anchor_ema)]
+            for slot, tr in probes["gate_states"].items():
+                if tr.shape[-1] in (4, 5):
+                    entry["gate"]["final_state"] = [
+                        round(float(v), 4) for v in tr[-1, b]]
         results.append(entry)
         print(json.dumps(entry), flush=True)
 
@@ -600,9 +641,15 @@ def main():
                           f"scaled_slam_d{d}_dim{dim}_"
                           f"mem{args.mem_n_neurons}_B{B}_T{int(args.T)}"
                           f"_{pd}.npz")
+        extra = {}
+        if gate_p is not None:
+            extra["gate_out"] = probes[gate_p]
+            for slot, tr in probes["gate_states"].items():
+                extra[f"gate_state_{slot}"] = tr
         np.savez(fn, slam_out=probes[slam_p],
                  pi_out=(probes[pi_p] if pi_p else np.array([])),
-                 paths=np.stack(paths), meta=np.array([json.dumps(out)]))
+                 paths=np.stack(paths), meta=np.array([json.dumps(out)]),
+                 **extra)
         print(f"saved {fn}")
 
 
